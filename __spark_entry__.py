@@ -1,38 +1,742 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: full multi-format extraction over the synthetic
+                    interleaved corpus (sized from sf0.001 documents.parquet),
+                    returning the ordered span table.
+queries()         — one entry per implemented operator (SURVEY.md §2 + the
+                    training-data ops); each callable: (spark, sf_dir) -> DF.
+oracle_sql()      — DuckDB-equivalent SQL for every SQL-expressible entry.
+                    Hash parity rules used throughout:
+                      - every computed column aliased identically both sides
+                      - floats rounded to 6 (the reference itself rounds 6)
+                      - hashes via md5-hex-prefix -> bigint, reproducible in
+                        both engines
+                    Entries without oracle SQL (pandas-kernel ops, full-corpus
+                    extraction) get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from qs_spark import search as S
+from qs_spark import textops as X
+from qs_spark.corpus import corpus_df
+from qs_spark.extract import extract_spans
+from qs_spark.previews import search_with_previews
+from qs_spark.registry import publish_transition, skip_existing_versions
+from qs_spark.store import build_store
+
+# ---------------------------------------------------------------- helpers
+
+TERMS = ["spark", "vector", "window"]
+PHRASE = ["data", "table"]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs_as_store(spark, sf_dir) -> DataFrame:
+    """documents.parquet viewed as a search store: one row per doc, file =
+    source (so per-file rollups aggregate docs per source)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        d.doc_id.cast("string").alias("row_id"),
+        d.doc_id.cast("string").alias("document_id"),
+        F.col("source").alias("document_name"),
+        F.lit(1).alias("page_no"),
+        F.lower("text").alias("text"),
+    )
+
+
+def _wrap_single_span(spark, sf_dir, kind: str, text_col) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.concat(F.lit("doc"), d.doc_id.cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit(kind).alias("kind"),
+                text_col.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def _registry_df(spark, sf_dir) -> DataFrame:
+    """Deterministic synthetic registry derived from documents: versions
+    0..(doc_id % 3 + 1); v0 Draft, others Publish."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (d.doc_id % 3 + 1).cast("int"))
+        ).alias("version_id"),
+    ).withColumn(
+        "state", F.when(F.col("version_id") == 0, "Draft").otherwise("Publish")
+    )
+
+
+_REGISTRY_SQL = (
+    "SELECT doc_id, unnest(generate_series(0, cast(doc_id % 3 AS int) + 1)) AS version_id,"
+    " CASE WHEN unnest(generate_series(0, cast(doc_id % 3 AS int) + 1)) = 0"
+    " THEN 'Draft' ELSE 'Publish' END AS state FROM documents"
+)
+
+# DuckDB needs the unnest once; restructure via a subquery instead:
+_REGISTRY_SQL = (
+    "SELECT doc_id, version_id,"
+    " CASE WHEN version_id = 0 THEN 'Draft' ELSE 'Publish' END AS state FROM ("
+    " SELECT doc_id, unnest(generate_series(0, cast(doc_id % 3 AS int) + 1)) AS version_id"
+    " FROM documents)"
+)
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_SHINGLES_SQL = (
+    "CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] "
+    "ELSE list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END"
+)
+
+
+def _h60_sql(expr: str) -> str:
+    return f"cast(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction of the interleaved corpus at sf0.001 scale."""
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = _docs(spark, sf_dir).count()
+    spans = extract_spans(corpus_df(spark, n_docs))
+    return spans.select("doc_id", F.col("order").alias("span_order"), "kind", "text", "media_ref", "fmt")
+
+
+# ---------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- normalization chain (F1/F2) ---
+    def q01(spark, sf):
+        d = _docs(spark, sf)
+        f1 = F.concat(
+            F.lit("File Name : doc"), d.doc_id.cast("string"), F.lit(".txt\n\n\n"), d.text
+        )
+        return d.select(
+            "doc_id", F.replace(F.lower(f1), F.lit("\n"), F.lit(" ")).alias("text_store")
+        )
+
+    q["q01_store_normalize"] = q01
+
+    # --- tokenization / postings (S12/U3 substrate) ---
+    def q02(spark, sf):
+        return X.token_counts(_docs(spark, sf))
+
+    q["q02_token_counts"] = q02
+
+    def q03(spark, sf):
+        d = _docs(spark, sf)
+        return (
+            d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    q["q03_postings_tf"] = q03
+
+    def q04(spark, sf):
+        d = _docs(spark, sf)
+        return (
+            d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").alias("doc_freq"))
+        )
+
+    q["q04_doc_freq"] = q04
+
+    # --- retrieval + ranking (R2/R3/P6/A1/A2/F10/O1) ---
+    def q05(spark, sf):
+        return S.search_rank(_docs_as_store(spark, sf), " ".join(TERMS))
+
+    q["q05_or_search_rank"] = q05
+
+    def q06(spark, sf):
+        st = _docs_as_store(spark, sf)
+        return S._match_rows_and(st, TERMS[:2]).select(
+            F.col("row_id").alias("doc_id"), "document_name"
+        )
+
+    q["q06_and_retrieval"] = q06
+
+    def q07(spark, sf):
+        st = _docs_as_store(spark, sf)
+        return st.filter(F.contains("text", F.lit("spark join"))).select(
+            F.col("row_id").alias("doc_id")
+        )
+
+    q["q07_exact_contains"] = q07
+
+    def q08(spark, sf):
+        d = _docs(spark, sf).select(
+            "source", "doc_id", "n_chars"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy("doc_id")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("source", "doc_id", "n_chars")
+        )
+
+    q["q08_first_per_group"] = q08
+
+    def q09(spark, sf):
+        return (
+            _docs(spark, sf)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            )
+        )
+
+    q["q09_score_rollup"] = q09
+
+    def q10(spark, sf):
+        d = _docs(spark, sf)
+        score = d.n_chars / F.lit(1000.0)
+        return d.select("doc_id", F.round(S.sigmoid_score_col(score), 6).alias("sigmoid"))
+
+    q["q10_sigmoid_score"] = q10
+
+    def q11(spark, sf):
+        return (
+            _docs(spark, sf)
+            .select("doc_id", "n_chars")
+            .orderBy(F.desc("n_chars"), "doc_id")
+            .limit(200)
+        )
+
+    q["q11_topk_limit"] = q11
+
+    def q12(spark, sf):
+        return S.bm25l_phrase(_docs_as_store(spark, sf), PHRASE).select(
+            F.col("row_id").alias("doc_id"), "bm25l"
+        )
+
+    q["q12_bm25l_phrase"] = q12
+
+    # --- join shapes (J1/J2/J5, TPC-H-ish) ---
+    def q13(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(F.col("o_totalprice") > 100000)
+        return (
+            li.join(F.broadcast(o.select("o_orderkey")), li.l_orderkey == o.o_orderkey, "left_semi")
+            .groupBy("l_orderkey")
+            .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        )
+
+    q["q13_semi_join"] = q13
+
+    def q14(spark, sf):
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+    q["q14_anti_join"] = q14
+
+    def q15(spark, sf):
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_order"))
+        return (
+            o.join(F.broadcast(first), "o_custkey")
+            .filter(F.col("o_orderdate") == F.col("first_order"))
+            .groupBy("o_custkey")
+            .agg(
+                F.min("o_orderkey").alias("first_orderkey"),
+                F.date_format(F.min("first_order"), "yyyy-MM-dd HH:mm:ss").alias("first_order_ts"),
+            )
+        )
+
+    q["q15_min_backfill"] = q15
+
+    def q16(spark, sf):
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        r = spark.read.parquet(f"{sf}/region.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        )
+
+    q["q16_region_revenue"] = q16
+
+    def q17(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["q17_pricing_summary"] = q17
+
+    def q18(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    q["q18_events_hourly"] = q18
+
+    # --- training-data ops ---
+    def q19(spark, sf):
+        return X.dedup_exact(_docs(spark, sf))
+
+    q["q19_dedup_exact"] = q19
+
+    def q20(spark, sf):
+        return X.minhash_signatures(_docs(spark, sf))
+
+    q["q20_minhash_signatures"] = q20
+
+    def q21(spark, sf):
+        return X.lsh_candidate_pairs(_docs(spark, sf))
+
+    q["q21_lsh_candidate_pairs"] = q21
+
+    def q22(spark, sf):
+        return X.simhash(_docs(spark, sf))
+
+    q["q22_simhash"] = q22
+
+    def q23(spark, sf):
+        d = _docs(spark, sf).filter(F.col("source") == "src0")
+        return X.ngram_jaccard_pairs(d)
+
+    q["q23_ngram_jaccard"] = q23
+
+    def q24(spark, sf):
+        e = _emb(spark, sf)
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+        ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        return X.ann_bruteforce(ed, qvec, k=10)
+
+    q["q24_ann_cosine_topk"] = q24
+
+    def q25(spark, sf):
+        return X.text_quality(_docs(spark, sf))
+
+    q["q25_text_quality"] = q25
+
+    def q26(spark, sf):
+        return X.lang_id(_docs(spark, sf))
+
+    q["q26_lang_id"] = q26
+
+    def q27(spark, sf):
+        return X.fingerprint(_docs(spark, sf))
+
+    q["q27_fingerprint"] = q27
+
+    # --- registry state machine (T1/P3) ---
+    def q28(spark, sf):
+        reg = _registry_df(spark, sf)
+        return publish_transition(reg, doc_id=42, version_id=1)
+
+    q["q28_publish_transition"] = q28
+
+    def q29(spark, sf):
+        reg = _registry_df(spark, sf)
+        d = _docs(spark, sf)
+        incoming = d.select("doc_id", (d.doc_id % 7).cast("int").alias("version_id"))
+        return skip_existing_versions(incoming, reg)
+
+    q["q29_version_skip_anti"] = q29
+
+    # --- extraction end-to-end with independent SQL oracles ---
+    def x30(spark, sf):
+        wrapped = _wrap_single_span(spark, sf, "md", F.col("text"))
+        return extract_spans(wrapped).select(
+            "doc_id", F.col("order").alias("span_order"), "kind", "text", "media_ref"
+        )
+
+    q["x30_extract_md_passthrough"] = x30
+
+    def x31(spark, sf):
+        wrapped = _wrap_single_span(spark, sf, "txt", F.col("text"))
+        return extract_spans(wrapped).select(
+            "doc_id", F.col("order").alias("span_order"), "kind", "text", "media_ref"
+        )
+
+    q["x31_extract_txt_chunk"] = x31
+
+    def x32(spark, sf):
+        html = F.concat(
+            F.lit(
+                "<html><head><script>x()</script></head><body>"
+                "<nav><a href='/'>home</a></nav><main><p>"
+            ),
+            F.col("text"),
+            F.lit("</p></main><aside>ads</aside><footer>f</footer></body></html>"),
+        )
+        wrapped = _wrap_single_span(spark, sf, "html", html)
+        return extract_spans(wrapped).select(
+            "doc_id", F.col("order").alias("span_order"), "kind", "text", "media_ref"
+        )
+
+    q["x32_extract_html_strip"] = x32
+
+    # --- rows-only entries (non-SQL-expressible: pandas kernels / full corpus) ---
+    def x33(spark, sf):
+        n = _docs(spark, sf).count()
+        return extract_spans(corpus_df(spark, n)).select(
+            "doc_id", F.col("order").alias("span_order"), "kind", "text", "media_ref", "fmt"
+        )
+
+    q["x33_extract_full_corpus"] = x33
+
+    def x34(spark, sf):
+        n = min(_docs(spark, sf).count(), 1500)
+        store = build_store(extract_spans(corpus_df(spark, n)))
+        return search_with_previews(store, "spark join")
+
+    q["x34_search_with_previews"] = x34
+
+    def x35(spark, sf):
+        e = _emb(spark, sf)
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+        ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        return X.ann_lsh(ed, qvec, k=10)
+
+    q["x35_ann_lsh_bucketed"] = x35
+
+    return q
+
+
+# ---------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    terms_sql = "['" + "','".join(TERMS) + "']"
+    phrase_sql = " " + " ".join(PHRASE) + " "
+    markers_sql = "['" + "','".join(X._EN_MARKERS) + "']"
+
+    o: dict[str, str] = {}
+
+    o["q01_store_normalize"] = (
+        "SELECT doc_id, replace(lower('File Name : doc' || doc_id || '.txt' ||"
+        " chr(10) || chr(10) || chr(10) || text), chr(10), ' ') AS text_store FROM documents"
+    )
+
+    o["q02_token_counts"] = (
+        "SELECT doc_id,"
+        " len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,"
+        " cast(coalesce(list_sum(list_transform("
+        "   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),"
+        "   x -> cast(ceil(length(x) / 4.0) AS int))), 0) AS int) AS bpe_tokens_est"
+        " FROM documents"
+    )
+
+    o["q03_postings_tf"] = (
+        "SELECT doc_id, term, count(*) AS tf FROM ("
+        " SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)"
+        " GROUP BY doc_id, term"
+    )
+
+    o["q04_doc_freq"] = (
+        "SELECT term, count(*) AS doc_freq FROM ("
+        " SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term"
+        " FROM documents) GROUP BY term"
+    )
+
+    o["q05_or_search_rank"] = f"""
+        WITH m AS (
+          SELECT source FROM documents
+          WHERE len(list_intersect(string_split(lower(text), ' '), {terms_sql})) > 0),
+        pf AS (SELECT source AS document_name, count(*) AS match_count FROM m GROUP BY source),
+        tot AS (SELECT count(*) AS n_files FROM pf),
+        sc AS (SELECT document_name, match_count,
+               round(least(0.7 + 0.3 * ln(1 + match_count) / ln(1 + n_files), 0.9995), 6) AS s6
+               FROM pf, tot)
+        SELECT document_name, match_count, round(s6 * 100, 3) AS relavence_score
+        FROM sc WHERE s6 > 0.655
+        ORDER BY relavence_score DESC, document_name LIMIT 200
     """
-    return {}
+
+    o["q06_and_retrieval"] = (
+        "SELECT cast(doc_id AS varchar) AS doc_id, source AS document_name FROM documents"
+        f" WHERE list_contains(string_split(lower(text), ' '), '{TERMS[0]}')"
+        f" AND list_contains(string_split(lower(text), ' '), '{TERMS[1]}')"
+    )
+
+    o["q07_exact_contains"] = (
+        "SELECT cast(doc_id AS varchar) AS doc_id FROM documents"
+        " WHERE contains(lower(text), 'spark join')"
+    )
+
+    o["q08_first_per_group"] = (
+        "SELECT source, doc_id, n_chars FROM ("
+        " SELECT source, doc_id, n_chars,"
+        " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents)"
+        " WHERE rn = 1"
+    )
+
+    o["q09_score_rollup"] = (
+        "SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,"
+        " round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY source"
+    )
+
+    o["q10_sigmoid_score"] = (
+        "SELECT doc_id, round(1 / (1 + exp(-3.0 * (n_chars / 1000.0))), 6) AS sigmoid"
+        " FROM documents"
+    )
+
+    o["q11_topk_limit"] = (
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 200"
+    )
+
+    o["q12_bm25l_phrase"] = f"""
+        WITH t AS (
+          SELECT cast(doc_id AS varchar) AS doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id, len(tk) AS dl,
+                 cast((length(' ' || array_to_string(tk, ' ') || ' ') -
+                       length(replace(' ' || array_to_string(tk, ' ') || ' ',
+                                      '{phrase_sql}', ' '))) /
+                      (length('{phrase_sql}') - 1) AS int) AS tf
+          FROM t),
+        s AS (SELECT count(*) AS n_rows, avg(dl) AS avdl,
+                     sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS dfp FROM m)
+        SELECT doc_id,
+               round(ln((n_rows + 1) / (dfp + 0.5)) * (1.2 + 1) *
+                     (tf / (1 - 0.75 + 0.75 * dl / avdl) + 0.5) /
+                     (1.2 + tf / (1 - 0.75 + 0.75 * dl / avdl) + 0.5), 6) AS bm25l
+        FROM m, s WHERE tf > 0
+    """
+
+    o["q13_semi_join"] = (
+        "SELECT l_orderkey, count(*) AS n_lines, round(sum(l_extendedprice), 2) AS sum_price"
+        " FROM lineitem WHERE l_orderkey IN"
+        " (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)"
+        " GROUP BY l_orderkey"
+    )
+
+    o["q14_anti_join"] = (
+        "SELECT c_custkey, c_name FROM customer"
+        " WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    )
+
+    o["q15_min_backfill"] = (
+        "SELECT o_custkey, min(o_orderkey) AS first_orderkey,"
+        " strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order_ts FROM orders o"
+        " WHERE o_orderdate = (SELECT min(o_orderdate) FROM orders i"
+        "                      WHERE i.o_custkey = o.o_custkey)"
+        " GROUP BY o_custkey"
+    )
+
+    o["q16_region_revenue"] = (
+        "SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+
+    o["q17_pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,"
+        " round(sum(l_extendedprice), 2) AS sum_base_price,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
+        " round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order"
+        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'"
+        " GROUP BY l_returnflag, l_linestatus"
+    )
+
+    o["q18_events_hourly"] = (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,"
+        " event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value"
+        " FROM events GROUP BY 1, 2"
+    )
+
+    o["q19_dedup_exact"] = (
+        "SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,"
+        " min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY fp"
+    )
+
+    mh_aggs = ", ".join(
+        "min({h}) AS mh{i}".format(h=_h60_sql(f"'{i}:' || sh"), i=i)
+        for i in range(X.MINHASH_K)
+    )
+    o["q20_minhash_signatures"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks))
+        SELECT doc_id, {mh_aggs} FROM sh GROUP BY doc_id
+    """
+
+    rows_per_band = X.MINHASH_K // X.LSH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=" || '_' || ".join(
+                f"cast(mh{b * rows_per_band + r} AS varchar)" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(X.LSH_BANDS)
+    )
+    o["q21_lsh_candidate_pairs"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks)),
+        sig AS (SELECT doc_id, {mh_aggs} FROM sh GROUP BY doc_id),
+        b AS ({band_selects})
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+        WHERE l.doc_id < r.doc_id
+    """
+
+    bit_aggs = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(X.SIMHASH_BITS)
+    )
+    bit_sum = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(X.SIMHASH_BITS)
+    )
+    o["q22_simhash"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_h60_sql('tok')} AS h FROM (
+            SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+            FROM documents)),
+        per AS (SELECT doc_id, {bit_aggs} FROM toks GROUP BY doc_id)
+        SELECT doc_id, cast({bit_sum} AS bigint) AS simhash FROM per
+    """
+
+    o["q23_ngram_jaccard"] = f"""
+        WITH d AS (SELECT * FROM documents WHERE source = 'src0'),
+        toks AS (SELECT source, doc_id, {_TOKS_SQL} AS t FROM d),
+        sh AS (SELECT DISTINCT source, doc_id, sh FROM (
+          SELECT source, doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    """
+
+    o["q24_ann_cosine_topk"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (
+          SELECT vec_id,
+                 list_sum(list_transform(range(len(e.ev)), i -> e.ev[i+1] * q.qv[i+1])) /
+                 (sqrt(list_sum(list_transform(e.ev, x -> x * x))) *
+                  sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS c
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings) e, q)
+        SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+    o["q25_text_quality"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(tk) AS n_tokens,
+                 length(array_to_string(tk, '')) * 1.0 / greatest(len(tk), 1) AS avg_w,
+                 (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 /
+                   greatest(length(text), 1) AS pr,
+                 len(list_intersect(tk, {markers_sql})) AS n_markers
+          FROM t)
+        SELECT doc_id, n_tokens, round(avg_w, 6) AS avg_word_len,
+               round(pr, 6) AS punct_ratio, n_markers,
+               round((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END) +
+                     (CASE WHEN avg_w >= 2.0 AND avg_w <= 12.0 THEN 0.3 ELSE 0.0 END) +
+                     (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END) +
+                     (CASE WHEN n_markers >= 1 THEN 0.1 ELSE 0.0 END), 2) AS quality
+        FROM m
+    """
+
+    o["q26_lang_id"] = f"""
+        SELECT doc_id,
+               len(list_intersect(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                                  {markers_sql})) AS marker_hits,
+               CASE WHEN len(list_intersect(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                                            {markers_sql})) >= 3
+                    THEN 'en' ELSE 'other' END AS lang_pred
+        FROM documents
+    """
+
+    o["q27_fingerprint"] = (
+        "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint"
+        " FROM documents"
+    )
+
+    o["q28_publish_transition"] = f"""
+        WITH reg AS ({_REGISTRY_SQL})
+        SELECT doc_id, version_id,
+               CASE WHEN doc_id = 42 AND version_id = 1 THEN 'Publish'
+                    WHEN doc_id = 42 AND version_id = 0 THEN 'Draft'
+                    WHEN doc_id = 42 THEN 'inter'
+                    ELSE state END AS state
+        FROM reg
+    """
+
+    o["q29_version_skip_anti"] = f"""
+        WITH reg AS ({_REGISTRY_SQL})
+        SELECT d.doc_id, cast(d.doc_id % 7 AS int) AS version_id FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM reg r
+                          WHERE r.doc_id = d.doc_id
+                            AND r.version_id = cast(d.doc_id % 7 AS int))
+    """
+
+    o["x30_extract_md_passthrough"] = (
+        "SELECT 'doc' || doc_id AS doc_id, 0 AS span_order, 'raw' AS kind,"
+        " text, '' AS media_ref FROM documents"
+    )
+
+    o["x31_extract_txt_chunk"] = (
+        "SELECT 'doc' || doc_id AS doc_id, 0 AS span_order, 'sentence_chunk' AS kind,"
+        " text, '' AS media_ref FROM documents WHERE length(text) > 0"
+    )
+
+    o["x32_extract_html_strip"] = (
+        "SELECT 'doc' || doc_id AS doc_id, 0 AS span_order, 'html_text' AS kind,"
+        " text, '' AS media_ref FROM documents WHERE length(trim(text)) > 0"
+    )
+
+    return o

@@ -1,0 +1,94 @@
+"""Table IO abstraction.
+
+The sandbox has no Iceberg runtime jar (offline pip), so this provides a
+local parquet-directory catalog with the same call surface the Iceberg path
+would use (append / dynamic-partition overwrite / merge-by-key / delete-where).
+On a real cluster you'd swap `ParquetCatalog` for an Iceberg catalog and the
+MERGE/DELETE bodies become `MERGE INTO` / `DELETE FROM` SQL — signatures and
+semantics are identical (SURVEY.md §7.3-3).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class ParquetCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f.startswith(("part-", "fmt=", "bucket="))
+            for f in os.listdir(p)
+        )
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table))
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def overwrite_partitions(self, df: DataFrame, table: str, partition_by: list[str]):
+        """Dynamic partition overwrite: only partitions present in df are
+        replaced (Iceberg: overwritePartitions / INSERT OVERWRITE dynamic)."""
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(self.path(table))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def merge_by_key(self, df: DataFrame, table: str, keys: list[str]):
+        """Upsert rows by key (Iceberg: MERGE INTO ... WHEN MATCHED UPDATE /
+        WHEN NOT MATCHED INSERT). Parquet fallback: read-modify-overwrite via
+        a staging dir + atomic-ish swap."""
+        spark = df.sparkSession
+        if not self.exists(table):
+            self.overwrite(df, table)
+            return
+        cur = self.read(spark, table)
+        merged = cur.join(df.select(*keys).distinct(), keys, "left_anti").unionByName(df)
+        self._rewrite(merged, table)
+
+    def delete_where(self, spark: SparkSession, table: str, condition):
+        """Iceberg: DELETE FROM table WHERE cond."""
+        if not self.exists(table):
+            return
+        cur = self.read(spark, table)
+        self._rewrite(cur.filter(~condition), table)
+
+    def _rewrite(self, df: DataFrame, table: str):
+        stage = self.path(table) + ".__stage__"
+        df.write.mode("overwrite").parquet(stage)
+        final = self.path(table)
+        backup = final + ".__old__"
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+        os.rename(final, backup)
+        os.rename(stage, final)
+        shutil.rmtree(backup)
+
+    def compact(self, spark: SparkSession, table: str, target_files: int = 8):
+        """Iceberg rewrite_data_files analog — the reference's periodic
+        index 'optimize' (file_upload.py:441-442)."""
+        df = self.read(spark, table).coalesce(target_files)
+        self._rewrite(df, table)

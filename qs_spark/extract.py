@@ -1,0 +1,197 @@
+"""Distributed extraction pipeline.
+
+Spark re-expression of the reference upload pipeline's parse stage
+(quanta-search-consumer/core/file_upload.py:129-194 + the per-format wheels):
+
+    input (doc_id, spans[])                         [Iceberg/parquet scan]
+      -> format derivation (JVM-side column expr, no Python)
+      -> skew split: docs with many page-local units are sliced into parts
+         BEFORE the shuffle, so one mega-doc never stalls a task (AQE handles
+         shuffle-join skew but not UDF-compute skew — SURVEY.md §4.1)
+      -> salted repartition on xxhash64(doc_id[, part]) -> Arrow-batched
+         mapInPandas kernels (vectorized pandas UDFs; no per-row Python)
+      -> mega-doc parts re-stitched per doc (applyInPandas ordered merge,
+         `order` renumbered after empty-unit drops, matching add_metadata's
+         enumeration semantics)
+
+Output: (doc_id, order, kind, text, media_ref, fmt) — the first five columns
+are the span contract; `fmt` rides along for the store builder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from qs_spark.kernels.dispatch import SPLITTABLE_FMTS, extract_doc
+from qs_spark.kernels.sheet_kernel import CHUNK_SIZE
+
+SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("order", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("part_k", T.IntegerType()),
+        T.StructField("local_order", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+# raw first-span kind -> fmt, as a JVM-side map expression (keep format
+# derivation out of Python entirely)
+_KIND_FMT = {
+    "html": "html",
+    "pdf_text": "pdf",
+    "pdf_table": "pdf",
+    "pdf_figure": "pdf",
+    "docx_para": "docx",
+    "docx_table": "docx",
+    "ocr_region": "docx",
+    "sheet_rows": "xlsx",
+    "csv_rows": "csv",
+    "txt": "txt",
+    "md": "md",
+}
+
+
+def with_fmt(df: DataFrame) -> DataFrame:
+    mapping = F.create_map(*[F.lit(x) for kv in _KIND_FMT.items() for x in kv])
+    return df.withColumn("fmt", mapping[F.col("spans")[0]["kind"]])
+
+
+def _spans_to_records(spans) -> list[dict]:
+    # Arrow hands array<struct> to pandas as a numpy array of dicts
+    return [
+        {
+            "kind": s["kind"],
+            "text": s["text"],
+            "media_ref": s["media_ref"],
+            "offset": s["offset"],
+        }
+        for s in spans
+    ]
+
+
+def _make_whole_doc_fn(chunk_size: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "order", "kind", "text", "media_ref", "fmt")}
+            for did, spans, fmt in zip(pdf["doc_id"], pdf["spans"], pdf["fmt"]):
+                for u in extract_doc(_spans_to_records(spans), fmt, chunk_size):
+                    out["doc_id"].append(did)
+                    out["order"].append(u["order"])
+                    out["kind"].append(u["kind"])
+                    out["text"].append(u["text"])
+                    out["media_ref"].append(u["media_ref"])
+                    out["fmt"].append(fmt)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _make_part_fn(chunk_size: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "part_k", "local_order", "kind", "text", "media_ref", "fmt",
+                )
+            }
+            for did, part_k, spans, fmt in zip(
+                pdf["doc_id"], pdf["part_k"], pdf["spans"], pdf["fmt"]
+            ):
+                # page-local formats only reach this path, so extracting a
+                # slice is semantics-preserving; order is LOCAL here and
+                # renumbered at stitch
+                for u in extract_doc(_spans_to_records(spans), fmt, chunk_size):
+                    out["doc_id"].append(did)
+                    out["part_k"].append(int(part_k))
+                    out["local_order"].append(u["order"])
+                    out["kind"].append(u["kind"])
+                    out["text"].append(u["text"])
+                    out["media_ref"].append(u["media_ref"])
+                    out["fmt"].append(fmt)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+    # ordered merge of a mega-doc's parts: stable sort by (part_k,
+    # local_order), then renumber -> globally identical to a serial walk
+    pdf = pdf.sort_values(["part_k", "local_order"], kind="mergesort").reset_index(drop=True)
+    pdf["order"] = pd.Series(range(len(pdf)), dtype="int32")
+    return pdf[["doc_id", "order", "kind", "text", "media_ref", "fmt"]]
+
+
+def extract_spans(
+    df: DataFrame,
+    chunk_size: int = CHUNK_SIZE,
+    split_threshold: int = 64,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, spans[]) -> ordered extracted spans.
+
+    split_threshold: max raw spans a single kernel call handles for page-local
+    formats; larger docs are sliced into ceil(n/threshold) parts that extract
+    in parallel and re-stitch.  At 100 TB this is the knob that bounds
+    per-task memory and wall time regardless of the input's size tail.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    df = with_fmt(df)
+    n_spans = F.size("spans")
+    is_mega = F.col("fmt").isin(*SPLITTABLE_FMTS) & (n_spans > split_threshold)
+
+    small = df.filter(~is_mega)
+    small_out = (
+        small.repartition(num_partitions, F.xxhash64("doc_id"))
+        .mapInPandas(_make_whole_doc_fn(chunk_size), schema=SPAN_SCHEMA)
+    )
+
+    mega = df.filter(is_mega)
+    t = F.lit(split_threshold)
+    n_parts = F.ceil(n_spans / t).cast("int")
+    parts = (
+        mega.select(
+            "doc_id",
+            "fmt",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_parts - 1),
+                    lambda i: F.slice("spans", i * t + 1, split_threshold),
+                )
+            ).alias("part_k", "spans"),
+        )
+        .repartition(num_partitions, F.xxhash64("doc_id", "part_k"))
+        .mapInPandas(_make_part_fn(chunk_size), schema=_PART_SCHEMA)
+    )
+    mega_out = parts.groupBy("doc_id").applyInPandas(_stitch, schema=SPAN_SCHEMA)
+
+    return small_out.unionByName(mega_out)
+
+
+def oracle_extract(docs: list[tuple[str, list[dict]]], chunk_size: int = CHUNK_SIZE) -> pd.DataFrame:
+    """Single-threaded golden oracle over (doc_id, raw_spans) pairs."""
+    rows = []
+    for did, spans in docs:
+        for u in extract_doc(spans, None, chunk_size):
+            rows.append((did, u["order"], u["kind"], u["text"], u["media_ref"]))
+    return pd.DataFrame(rows, columns=["doc_id", "order", "kind", "text", "media_ref"])

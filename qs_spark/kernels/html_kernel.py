@@ -1,0 +1,114 @@
+"""HTML main-content extraction (boilerplate strip).
+
+The reference supports no HTML ingestion; this kernel is the north-rule
+addition ("HTML boilerplate strip, DOM heuristics" — BASELINE.json) specified
+here and oracled by our own tests + a SQL-expressible identity case.
+
+Spec (deterministic, stdlib-only DOM tokenization via html.parser):
+  - Pruned subtrees (classic boilerplate containers + non-content):
+    script style noscript template head nav footer aside header form button
+    iframe svg.
+  - Content blocks: p h1..h6 li pre blockquote tr.  Text is collected per
+    block (innermost open block wins); character references are decoded;
+    intra-block whitespace runs collapse to a single space and the block is
+    stripped.  Table rows join their td/th cell texts with " | ".
+  - Link-density heuristic (boilerpipe-style): a block whose text is >50%
+    inside <a> tags is dropped as boilerplate (nav bars that aren't <nav>).
+  - Text not anchored in any content block (stray text in div/body) is
+    ignored — unanchored runs are overwhelmingly chrome at web scale.
+  - Empty blocks are dropped; emitted spans have kind 'html_text' in document
+    order.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+_PRUNE = {
+    "script", "style", "noscript", "template", "head", "nav", "footer",
+    "aside", "header", "form", "button", "iframe", "svg",
+}
+_BLOCKS = {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote", "tr"}
+_VOID = {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+         "embed", "source", "track", "wbr"}
+_WS_RE = re.compile(r"\s+")
+
+
+class _MainContentParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._prune_depth = 0
+        self._block_stack: list[dict] = []  # {tag, parts, link_chars, total, cells}
+        self._a_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID:
+            if tag == "br" and self._block_stack:
+                self._block_stack[-1]["parts"].append(" ")
+            return
+        if tag in _PRUNE:
+            self._prune_depth += 1
+            return
+        if self._prune_depth:
+            return
+        if tag == "a":
+            self._a_depth += 1
+        if tag in _BLOCKS:
+            self._block_stack.append(
+                {"tag": tag, "parts": [], "link": 0, "total": 0, "cells": []}
+            )
+        elif tag in ("td", "th") and self._block_stack and self._block_stack[-1]["tag"] == "tr":
+            b = self._block_stack[-1]
+            b["cells"].append(len(b["parts"]))  # cell boundary marker
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _PRUNE:
+            if self._prune_depth:
+                self._prune_depth -= 1
+            return
+        if self._prune_depth:
+            return
+        if tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+        if tag in _BLOCKS and self._block_stack and self._block_stack[-1]["tag"] == tag:
+            b = self._block_stack.pop()
+            if tag == "tr" and b["cells"]:
+                cell_texts = []
+                bounds = b["cells"] + [len(b["parts"])]
+                for i in range(len(bounds) - 1):
+                    cell_texts.append("".join(b["parts"][bounds[i] : bounds[i + 1]]))
+                text = " | ".join(
+                    t for t in (_WS_RE.sub(" ", c).strip() for c in cell_texts) if t
+                )
+            else:
+                text = _WS_RE.sub(" ", "".join(b["parts"])).strip()
+            if text and (b["total"] == 0 or b["link"] / b["total"] <= 0.5):
+                self.blocks.append(text)
+
+    def handle_data(self, data: str) -> None:
+        if self._prune_depth or not self._block_stack:
+            return
+        b = self._block_stack[-1]
+        b["parts"].append(data)
+        n = len(_WS_RE.sub("", data))
+        b["total"] += n
+        if self._a_depth:
+            b["link"] += n
+
+
+def extract_main(html: str) -> list[str]:
+    """HTML -> ordered list of main-content block texts."""
+    p = _MainContentParser()
+    p.feed(html or "")
+    p.close()
+    return p.blocks
+
+
+def walk_html(raw_spans: list[dict]) -> list[dict]:
+    out: list[dict] = []
+    for sp in raw_spans:
+        for block in extract_main(sp["text"] or ""):
+            out.append({"kind": "html_text", "text": block, "media_ref": ""})
+    return out

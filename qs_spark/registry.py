@@ -1,0 +1,73 @@
+"""Document registry: version state machine + delete cascade.
+
+Reference semantics (quanta-search-consumer/core/file_upload.py):
+  T1 publish transition (:298-302): when version V of a doc is published,
+     every other version not in {0, V} flips to state 'inter'; version 0 is
+     the draft and keeps state 'Draft'.
+  P3 version-exists skip (:85-95): an incoming (doc_id, version_id) already in
+     the registry is skipped — a left-anti join.
+  J5 upload-date backfill (:205-215): the earliest stored uploaded_date per
+     doc wins.
+  T4 delete cascade (:481-651): deleting (doc_id, version) removes spans +
+     registry rows; version_id NULL means all versions; a doc with no
+     remaining versions disappears from the registry entirely.
+
+All expressed as DataFrame ops + catalog MERGE/DELETE so they run as Iceberg
+MERGE INTO / DELETE FROM on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def publish_transition(registry: DataFrame, doc_id: str, version_id: int) -> DataFrame:
+    """T1: publish `version_id` of `doc_id`; other non-draft versions -> 'inter'."""
+    is_doc = F.col("doc_id") == doc_id
+    return registry.withColumn(
+        "state",
+        F.when(is_doc & (F.col("version_id") == version_id), F.lit("Publish"))
+        .when(is_doc & (F.col("version_id") == 0), F.lit("Draft"))
+        .when(is_doc, F.lit("inter"))
+        .otherwise(F.col("state")),
+    )
+
+
+def skip_existing_versions(incoming: DataFrame, registry: DataFrame) -> DataFrame:
+    """P3/J2: drop uploads whose (doc_id, version_id) already exists."""
+    return incoming.join(
+        registry.select("doc_id", "version_id"), ["doc_id", "version_id"], "left_anti"
+    )
+
+
+def backfill_uploaded_date(registry: DataFrame) -> DataFrame:
+    """J5: per-doc earliest uploaded_date joined back to every version row."""
+    first = registry.groupBy("doc_id").agg(F.min("uploaded_date").alias("first_uploaded"))
+    return registry.join(F.broadcast(first), "doc_id")
+
+
+def delete_versions(
+    registry: DataFrame, spans: DataFrame, doc_id: str, version_id: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """T4: remove a version (or all, when version_id is None) from registry +
+    spans; returns the surviving (registry, spans)."""
+    if version_id is None:
+        reg_keep = registry.filter(F.col("doc_id") != doc_id)
+        spans_keep = spans.filter(F.col("doc_id") != doc_id)
+    else:
+        reg_keep = registry.filter(
+            (F.col("doc_id") != doc_id) | (F.col("version_id") != version_id)
+        )
+        spans_keep = spans.filter(
+            (F.col("doc_id") != doc_id) | (F.col("version_id") != version_id)
+        )
+    return reg_keep, spans_keep
+
+
+def resolve_status(registry: DataFrame, results: DataFrame) -> DataFrame:
+    """T2/J3: Processing -> Success/Failed write-back by doc_id equi-join."""
+    return registry.join(
+        results.select("doc_id", F.col("outcome").alias("_outcome")), "doc_id", "left"
+    ).withColumn(
+        "status", F.coalesce(F.col("_outcome"), F.col("status"))
+    ).drop("_outcome")

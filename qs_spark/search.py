@@ -1,0 +1,201 @@
+"""Search operators: query normalization, postings, OR/AND/BM25L retrieval,
+per-file dedup + rollup, scoring, top-k.
+
+Spark re-expression of the reference query path
+(quanta-search-api/core/file_searcher.py:195-373 and
+core/inverted_index_retiver.py:29-265).  The reference's external
+fast_inverted_index becomes a derived postings table / token-array scan; its
+Mongo $group-$first becomes a window dedup; everything stays JVM-side column
+expressions except nothing — previews live in previews.py (pandas kernel).
+
+Scoring constants (quanta-search-api/utils/load_envs.py:33-40):
+  BASE_SCORE=0.7  MAX_SCORE=0.99998  RETRIVER_CUT_OFF_THRESH=0.655
+  BASE_PREVIEW_SCORE=0.9  PREVIEW_DIVISOR=10  PREVIEW_LENGTH=3
+  MAX_PREVIEW_COUNT=3  MAX_DOC_LIMIT=200
+
+Documented divergence: the reference's per-file match `count` is an artifact
+of Mongo 5000-id batch chunking (a file counts once per chunk it appears in,
+inverted_index_retiver.py:184-186).  Our count is the number of matching
+store rows for the file — the intended dataflow (A1 dedup + A2 rollup).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from qs_spark.stopwords import STOPWORDS
+
+BASE_SCORE = 0.7
+MAX_SCORE = 0.99998
+CUTOFF = 0.655
+BASE_PREVIEW_SCORE = 0.9
+PREVIEW_DIVISOR = 10
+PREVIEW_LENGTH = 3
+MAX_PREVIEW_COUNT = 3
+MAX_DOC_LIMIT = 200
+
+_NON_ALNUM = re.compile(r"[^A-Za-z0-9 ]+")
+
+
+def normalize_query(query: str) -> tuple[str, str, list[str]]:
+    """F3+F5 (file_searcher.py:199-231): returns
+    (query__ raw-lowered, query_ punct-stripped, stopword-filtered terms)."""
+    query__ = query.strip().lower()
+    query_ = query__.replace('"', "").replace("'", "")
+    query_ = _NON_ALNUM.sub(" ", query_)
+    terms = [w for w in query_.split() if w not in STOPWORDS]
+    return query__, query_, terms
+
+
+def tokens_col(text_col="text"):
+    """Store-text tokenizer: lowercase alnum runs (the store text is already
+    lowercased by F2)."""
+    return F.filter(
+        F.split(F.regexp_replace(F.col(text_col), "[^a-z0-9]+", " "), " "),
+        lambda x: x != "",
+    )
+
+
+def with_tokens(store: DataFrame) -> DataFrame:
+    return store.withColumn("tokens", tokens_col())
+
+
+def build_postings(store: DataFrame) -> DataFrame:
+    """Derived inverted index: (term, position, row_id, document_name).
+    The reference's index sink S12 (file_upload.py:362-476) with monotonic ids
+    replaced by the natural (row_id, pos) key — Iceberg/parquet partitioning
+    on bucket(term) makes term lookups partition-pruned at scale.
+    """
+    return with_tokens(store).select(
+        "row_id",
+        "document_id",
+        "document_name",
+        "page_no",
+        F.posexplode("tokens").alias("pos", "term"),
+    )
+
+
+def _match_rows_or(store: DataFrame, terms: list[str]) -> DataFrame:
+    """OR retrieval (or_query, inverted_index_retiver.py:66-74): rows whose
+    token set intersects the query terms.  Expressed as an array-overlap scan
+    (no shuffle); the postings-join variant is or_search_postings."""
+    return with_tokens(store).filter(
+        F.arrays_overlap("tokens", F.array(*[F.lit(t) for t in terms]))
+    )
+
+
+def _match_rows_and(store: DataFrame, terms: list[str]) -> DataFrame:
+    """AND retrieval (and_query, inverted_index_retiver.py:56-64)."""
+    df = with_tokens(store)
+    for t in terms:
+        df = df.filter(F.array_contains("tokens", t))
+    return df
+
+
+def or_search_postings(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Postings-table OR retrieval: broadcast semi-join of terms (J1 analog,
+    the scale path when a postings table is materialized)."""
+    term_df = postings.sparkSession.createDataFrame([(t,) for t in terms], ["term"])
+    return postings.join(F.broadcast(term_df), "term", "left_semi").select("row_id").distinct()
+
+
+def dedup_first_per_file(rows: DataFrame) -> DataFrame:
+    """A1: one representative row per file.  The reference's $group $first
+    takes Mongo natural order; our deterministic equivalent is the earliest
+    (document_id, page_no) row."""
+    w = Window.partitionBy("document_name").orderBy("document_id", "page_no")
+    return rows.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def compute_score_col(count_col, n_files_col):
+    """F10 (quanta-search-api/utils/util.py:165-192): log-scaled count score,
+    rounded to 6 like the caller (file_searcher.py:325)."""
+    scale = F.log(F.lit(1.0) + count_col) / F.log(F.lit(1.0) + n_files_col)
+    return F.round(F.least(F.lit(BASE_SCORE) + (1 - BASE_SCORE) * scale, F.lit(0.9995)), 6)
+
+
+def preview_score_col(avg_score, n_previews):
+    """F11 (utils/util.py:195-221): lift to BASE_PREVIEW_SCORE if any preview,
+    then add (MAX-score)*min(n/10,1), cap MAX_SCORE."""
+    lifted = F.when(
+        (avg_score < BASE_PREVIEW_SCORE) & (n_previews > 0), F.lit(BASE_PREVIEW_SCORE)
+    ).otherwise(avg_score)
+    mul = F.least(n_previews / F.lit(PREVIEW_DIVISOR), F.lit(1.0))
+    return F.least(lifted + (F.lit(MAX_SCORE) - lifted) * mul, F.lit(MAX_SCORE))
+
+
+def sigmoid_score_col(score_col):
+    """F9 (inverted_index_retiver.py:126-144): sigmoid of 3x textScore."""
+    return 1 / (1 + F.exp(-3.0 * score_col))
+
+
+def search_rank(store: DataFrame, query: str, exact_match: bool = False) -> DataFrame:
+    """The search pipeline minus previews (those need the pandas kernel):
+    retrieval -> P6 containment (exact mode) -> A2 rollup -> F10 score ->
+    P7 threshold -> O1 top-200.
+
+    Returns (document_name, match_count, relavence_score) — score scaled
+    x100 round 3 like the response (file_searcher.py:341).
+    """
+    query__, _, terms = normalize_query(query)
+    if not terms and not exact_match:
+        return store.sparkSession.createDataFrame(
+            [], "document_name string, match_count long, relavence_score double"
+        )
+    rows = _match_rows_and(store, terms) if exact_match else _match_rows_or(store, terms)
+    if exact_match:
+        rows = rows.filter(F.contains(F.col("text"), F.lit(query__)))  # P6
+    per_file = rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
+    # fl_score_len = DISTINCT file count of the result set (file_searcher.py:322)
+    total = per_file.agg(F.count("*").alias("n_files"))
+    scored = (
+        per_file.crossJoin(F.broadcast(total))
+        .withColumn("relavence_score", compute_score_col(F.col("match_count"), F.col("n_files")))
+        .filter(F.col("relavence_score") > CUTOFF)  # P7
+        .select(
+            "document_name",
+            "match_count",
+            F.round(F.col("relavence_score") * 100, 3).alias("relavence_score"),
+        )
+        .orderBy(F.desc("relavence_score"), "document_name")  # O1 (name tiebreak)
+        .limit(MAX_DOC_LIMIT)
+    )
+    return scored
+
+
+def bm25l_phrase(store: DataFrame, terms: list[str], k1=1.2, b=0.75, delta=0.5) -> DataFrame:
+    """R1: BM25L-scored phrase retrieval (PyQueryNode.phrase + 'bm25l',
+    inverted_index_retiver.py:42-54).  The external index's scorer is
+    reproduced from the published formula (Lv & Zhai, CIKM'11):
+
+        c'     = tf / (1 - b + b * dl/avdl)
+        score  = sum_t idf * (k1+1)(c'+delta) / (k1 + c'+delta)   [c'>0]
+        idf    = ln((N+1)/(df+0.5))
+
+    Phrase tf = non-overlapping occurrences of the space-joined phrase within
+    the row's space-joined tokens (positional adjacency).
+    """
+    phrase = " " + " ".join(terms) + " "
+    toks = F.concat(F.lit(" "), F.array_join(tokens_col(), " "), F.lit(" "))
+    df = with_tokens(store).withColumn("dl", F.size("tokens"))
+    df = df.withColumn(
+        "tf",
+        ((F.length(toks) - F.length(F.replace(toks, F.lit(phrase), F.lit(" ")))) /
+         (F.length(F.lit(phrase)) - 1)).cast("int"),
+    )
+    stats = df.agg(
+        F.count("*").alias("n_rows"),
+        F.avg("dl").alias("avdl"),
+        F.sum((F.col("tf") > 0).cast("int")).alias("df_phrase"),
+    )
+    hits = df.filter(F.col("tf") > 0).crossJoin(F.broadcast(stats))
+    cp = F.col("tf") / (1 - b + b * F.col("dl") / F.col("avdl")) + F.lit(delta)
+    idf = F.log((F.col("n_rows") + 1) / (F.col("df_phrase") + 0.5))
+    return hits.select(
+        "row_id",
+        "document_name",
+        "page_no",
+        F.round(idf * (k1 + 1) * cp / (k1 + cp), 6).alias("bm25l"),
+    ).orderBy(F.desc("bm25l"), "row_id")

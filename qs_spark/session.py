@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local-mode testing stands in for a multi-executor cluster; every knob here is
+chosen to transfer: AQE for runtime re-plan / skew joins, Arrow for the pandas
+kernel exchange, shuffle partitions sized to cores (not the 200 default that
+would produce tiny shuffle files at 100 TB you'd instead size to
+input_bytes / target_partition_bytes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "qs_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` drives both the local master and shuffle parallelism so the same
+    code runs at N and 4N parallelism for the scaling benchmark
+    (BASELINE.json north_rule: efficiency >= 0.8 between N and 4N).
+    """
+    cores = cores or DEFAULT_CPUS
+    # >=2 partitions per core so stragglers overlap; at cluster scale you'd
+    # size by bytes instead (see extract.plan_partitions).
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # extraction rows are fat (whole documents): keep Arrow batches small
+        # so a batch of mega-docs never balloons one python worker
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.driver.memory", os.environ.get("QS_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,46 @@
+"""Store builder: extracted spans -> the searchable row store.
+
+Reproduces the reference's metadata-enrich + sink normalization chain:
+  F1 filename prepend  "File Name : {file_name}\\n\\n\\n{text}"
+      (quanta-search-consumer/utils/util.py:64-66) — applied to EVERY unit,
+      including empty ones, which is why the sink's empty-text guard
+      (core/file_upload.py:330) never fires post-F1.
+  F2 store normalization  text.lower().replace("\\n", " ")
+      (core/file_upload.py:336)
+  page_no = order + 1 (add_metadata enumeration)
+  row key: deterministic (doc_id, order) instead of the reference's uuid4 —
+  idempotent re-runs produce identical stores (the resume contract, T5).
+
+The store is the Spark analog of the Mongo vector_store collection; the
+postings table built in search.py is the analog of the fast_inverted_index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from qs_spark.kernels.dispatch import EXT_BY_FMT
+
+
+def file_name_col(doc_id="doc_id", fmt="fmt"):
+    ext_map = F.create_map(*[F.lit(x) for kv in EXT_BY_FMT.items() for x in kv])
+    return F.concat(F.col(doc_id), ext_map[F.col(fmt)])
+
+
+def build_store(spans: DataFrame, state: str = "Publish", version_id: int = 1) -> DataFrame:
+    """spans (doc_id, order, kind, text, media_ref, fmt) -> store rows."""
+    fn = file_name_col()
+    f1 = F.concat(F.lit("File Name : "), fn, F.lit("\n\n\n"), F.col("text"))
+    f2 = F.replace(F.lower(f1), F.lit("\n"), F.lit(" "))
+    return spans.select(
+        F.concat_ws("#", "doc_id", "order").alias("row_id"),
+        F.col("doc_id").alias("document_id"),
+        fn.alias("document_name"),
+        (F.col("order") + 1).alias("page_no"),
+        f2.alias("text"),
+        "kind",
+        "media_ref",
+        "fmt",
+        F.lit(state).alias("state"),
+        F.lit(version_id).alias("version_id"),
+    )

@@ -1,0 +1,77 @@
+"""Golden end-to-end: distributed extraction == single-threaded oracle, on the
+synthetic interleaved corpus, under (kind, text, media_ref, order) equality
+(the north-rule invariant).  chunk_size is lowered so sheet chunk boundaries
+are exercised in-corpus.
+"""
+
+import pandas as pd
+
+from qs_spark.corpus import corpus_df, gen_doc
+from qs_spark.extract import extract_spans, oracle_extract
+
+N_DOCS = 400
+CHUNK = 1500  # small budget -> multi-chunk sheets in the corpus
+
+KEY = ["doc_id", "order", "kind", "text", "media_ref"]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[KEY].sort_values(["doc_id", "order"], kind="mergesort").reset_index(drop=True)
+    out["order"] = out["order"].astype("int64")
+    return out
+
+
+def test_golden_span_equality(spark):
+    got = _canon(extract_spans(corpus_df(spark, N_DOCS), chunk_size=CHUNK).toPandas())
+    want = _canon(oracle_extract([gen_doc(i) for i in range(N_DOCS)], chunk_size=CHUNK))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_mega_doc_split_stitch(spark):
+    # doc 175 is a mega-doc (400 pages) in the first 2000 — force the split
+    # path with a tiny threshold and verify the re-stitched ordering
+    idxs = [170, 175, 180]
+    import pyspark.sql.types as T
+
+    from qs_spark.corpus import gen_batch
+
+    schema = T.StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "doc_id", "type": "string", "nullable": True, "metadata": {}},
+                {
+                    "name": "spans",
+                    "nullable": True,
+                    "metadata": {},
+                    "type": {
+                        "type": "array",
+                        "containsNull": True,
+                        "elementType": {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "kind", "type": "string", "nullable": True, "metadata": {}},
+                                {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+                                {"name": "media_ref", "type": "string", "nullable": True, "metadata": {}},
+                                {"name": "offset", "type": "integer", "nullable": True, "metadata": {}},
+                            ],
+                        },
+                    },
+                },
+            ],
+        }
+    )
+    df = spark.createDataFrame(gen_batch(idxs), schema=schema)
+    got = _canon(extract_spans(df, split_threshold=16).toPandas())
+    want = _canon(oracle_extract([gen_doc(i) for i in idxs]))
+    assert (got["doc_id"] == "doc00000175").sum() > 100  # mega actually extracted
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_determinism_across_partitionings(spark):
+    # §5-5: identical output under different parallelism (8 vs 64 partitions)
+    df = corpus_df(spark, 120)
+    a = _canon(extract_spans(df, num_partitions=4).toPandas())
+    b = _canon(extract_spans(df, num_partitions=64).toPandas())
+    pd.testing.assert_frame_equal(a, b)

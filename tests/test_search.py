@@ -1,0 +1,125 @@
+"""Search-operator tests: the Spark pipeline vs a straight-line Python
+emulation of the reference's query path on the same small store.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from qs_spark import search as S
+from qs_spark.corpus import corpus_df
+from qs_spark.extract import extract_spans
+from qs_spark.previews import process_single_text, search_with_previews
+from qs_spark.store import build_store
+
+N_DOCS = 120
+
+
+def _store(spark):
+    spans = extract_spans(corpus_df(spark, N_DOCS))
+    return build_store(spans).cache()
+
+
+def test_store_normalization(spark):
+    st = _store(spark)
+    row = st.orderBy("row_id").first()
+    assert row.text.startswith("file name : doc")  # F1 then F2 lowercased
+    assert "\n" not in row.text  # F2: newlines -> spaces
+    assert row.page_no >= 1
+
+
+def test_query_normalization():
+    q__, q_, terms = S.normalize_query('  The "Fast" JOIN-query!  ')
+    assert q__ == 'the "fast" join-query!'
+    assert q_ == "the fast join query "
+    assert terms == ["fast", "join", "query"]  # stopword 'the' dropped
+
+
+def test_stopword_only_query_short_circuits(spark):
+    st = _store(spark)
+    assert S.search_rank(st, "the and of").count() == 0
+
+
+def test_or_vs_and_retrieval(spark):
+    st = _store(spark)
+    or_rows = S._match_rows_or(st, ["spark", "vector"]).count()
+    and_rows = S._match_rows_and(st, ["spark", "vector"]).count()
+    assert and_rows <= or_rows
+    assert or_rows > 0
+
+
+def test_or_scan_equals_postings_join(spark):
+    st = _store(spark)
+    terms = ["spark", "vector"]
+    scan_ids = {r.row_id for r in S._match_rows_or(st, terms).select("row_id").collect()}
+    post_ids = {
+        r.row_id for r in S.or_search_postings(S.build_postings(st), terms).collect()
+    }
+    assert scan_ids == post_ids
+
+
+def test_search_rank_matches_reference_formula(spark):
+    st = _store(spark)
+    res = S.search_rank(st, "spark join").toPandas()
+    assert len(res) > 0
+    assert res["relavence_score"].is_monotonic_decreasing
+    # recompute one row's score with the reference formula (utils/util.py:165-192)
+    n_files = len(
+        S._match_rows_or(st, ["spark", "join"]).select("document_name").distinct().collect()
+    )
+    r0 = res.iloc[0]
+    expected = round(
+        min(0.7 + 0.3 * math.log(1 + r0.match_count) / math.log(1 + n_files), 0.9995), 6
+    )
+    assert abs(r0.relavence_score - round(expected * 100, 3)) < 1e-9
+    assert len(res) <= S.MAX_DOC_LIMIT
+
+
+def test_exact_match_containment(spark):
+    st = _store(spark)
+    res = S.search_rank(st, "spark join", exact_match=True)
+    names = {r.document_name for r in res.collect()}
+    # every hit's file must have a row containing the literal substring
+    lit = st.filter(F.col("text").contains("spark join"))
+    lit_names = {r.document_name for r in lit.select("document_name").distinct().collect()}
+    assert names <= lit_names
+
+
+def test_preview_window_reference_semantics():
+    # char-exact vs the reference algorithm (file_preview.py:45-83)
+    text = "alpha beta gamma delta TARGET epsilon zeta eta theta"
+    got = process_single_text(text, "target", 3, -1)
+    assert got == []  # case-sensitive: store text is lowercased first
+    # manual trace of the reference algorithm: slice ws[before-3] -> ws[after+2]
+    # = " gamma delta target epsilon zeta".strip()
+    got = process_single_text(text.lower(), "target", 3, -1)
+    assert got == ["gamma delta target epsilon zeta"]
+    # filename-tag snippets are dropped (tag inside the window -> snippet killed)
+    got2 = process_single_text("file name : x.pdf rest", "name", 3, -1)
+    assert got2 == []
+
+
+def test_preview_limit_and_boost(spark):
+    st = _store(spark)
+    res = search_with_previews(st, "spark join").toPandas()
+    assert len(res) > 0
+    assert (res["preview"].map(len) <= S.MAX_PREVIEW_COUNT * 50).all()
+    with_prev = res[res["preview"].map(len) > 0]
+    if len(with_prev):
+        # F11 lifts any previewed doc to >= 90
+        assert (with_prev["relavence_score"] >= 90.0 - 1e-9).all()
+
+
+def test_bm25l_phrase(spark):
+    st = _store(spark)
+    res = S.bm25l_phrase(st, ["data", "table"]).toPandas()
+    if len(res):
+        assert res["bm25l"].is_monotonic_decreasing
+        # every scored row really contains the adjacent phrase
+        ids = [r for r in res["row_id"][:5]]
+        rows = st.filter(F.col("row_id").isin(ids)).select("row_id", "text").collect()
+        for r in rows:
+            toks = " ".join(
+                t for t in __import__("re").sub(r"[^a-z0-9]+", " ", r.text).split() if t
+            )
+            assert "data table" in toks

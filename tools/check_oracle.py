@@ -1,0 +1,102 @@
+"""Local mirror of the driver's correctness harness: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir; compare
+row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as E  # noqa: E402
+from qs_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+        try:
+            if str(df[c].dtype).startswith(("int", "uint", "Int")):
+                df[c] = df[c].astype("int64")
+            elif str(df[c].dtype).startswith("float"):
+                df[c] = df[c].astype("float64").round(6)
+        except Exception:
+            pass
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    filters = sys.argv[2:]
+    spark = get_spark("oracle_check", cores=8, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    fails = []
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            fails.append(name)
+            print(f"FAIL {name}: spark error {type(ex).__name__}: {str(ex)[:300]}")
+            continue
+        if name not in os_:
+            print(f"rows-only  {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(os_[name]).fetchdf()
+        except Exception as ex:
+            fails.append(name)
+            print(f"FAIL {name}: duckdb error {str(ex)[:300]}")
+            continue
+        a, b = canon(sdf), canon(odf)
+        status = "ok"
+        if list(a.columns) != list(b.columns):
+            status = f"COLUMN MISMATCH {list(a.columns)} vs {list(b.columns)}"
+        elif len(a) != len(b):
+            status = f"ROWCOUNT {len(a)} vs {len(b)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
+            except AssertionError as ex:
+                status = "VALUES: " + str(ex).split("\n")[0]
+                for col in a.columns:
+                    if not a[col].equals(b[col]):
+                        neq = (a[col] != b[col])
+                        try:
+                            import numpy as np
+                            if a[col].dtype.kind == "f":
+                                neq = ~np.isclose(a[col], b[col], atol=1e-9, equal_nan=True)
+                        except Exception:
+                            pass
+                        if neq.any():
+                            i = neq.idxmax()
+                            status += f" | col {col} row {i}: {a[col][i]!r} vs {b[col][i]!r}"
+                            break
+        mark = "ok  " if status == "ok" else "FAIL"
+        if status != "ok":
+            fails.append(name)
+        print(f"{mark} {name}: {len(a)} rows  [{time.time()-t0:.1f}s] {status if status != 'ok' else ''}")
+    print("\n==", "ALL OK" if not fails else f"{len(fails)} FAILURES: {fails}")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
