@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from qs_spark import search as S
 from qs_spark import textops as X
-from qs_spark.corpus import corpus_df
+from qs_spark.corpus import corpus_parquet
 from qs_spark.extract import extract_spans
 from qs_spark.previews import search_with_previews
 from qs_spark.registry import publish_transition, skip_existing_versions
@@ -117,7 +117,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction of the interleaved corpus at sf0.001 scale."""
     sf_dir = "/root/testdata/sf0.001"
     n_docs = _docs(spark, sf_dir).count()
-    spans = extract_spans(corpus_df(spark, n_docs))
+    spans = extract_spans(corpus_parquet(spark, n_docs))
     return spans.select("doc_id", F.col("order").alias("span_order"), "kind", "text", "media_ref", "fmt")
 
 
@@ -421,7 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- rows-only entries (non-SQL-expressible: pandas kernels / full corpus) ---
     def x33(spark, sf):
         n = _docs(spark, sf).count()
-        return extract_spans(corpus_df(spark, n)).select(
+        return extract_spans(corpus_parquet(spark, n)).select(
             "doc_id", F.col("order").alias("span_order"), "kind", "text", "media_ref", "fmt"
         )
 
@@ -429,7 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def x34(spark, sf):
         n = min(_docs(spark, sf).count(), 1500)
-        store = build_store(extract_spans(corpus_df(spark, n)))
+        store = build_store(extract_spans(corpus_parquet(spark, n)))
         return search_with_previews(store, "spark join")
 
     q["x34_search_with_previews"] = x34

@@ -247,3 +247,36 @@ def corpus_df(spark, n_docs: int):
 
     n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 8)
     return spark.range(n_docs, numPartitions=n_parts).mapInPandas(gen, schema=schema)
+
+
+def corpus_parquet(spark, n_docs: int, path: str | None = None, n_buckets: int | None = None):
+    """Materialize the corpus as a doc_id-bucketed parquet table and return a
+    reader DF.
+
+    extract_spans scans its input twice (small + mega branch) — fine on a
+    real table, wasteful on a generator — and the north-rule input is a
+    TABLE of interleaved docs anyway; benchmarks measure extraction from
+    storage, not generation.
+
+    The write salted-repartitions on xxhash64(doc_id) into n_buckets files —
+    the parquet stand-in for an Iceberg `bucket(doc_id)` table layout.  A
+    bucketed layout moves the "salted repartition" to WRITE time: extraction
+    then scans co-located, size-balanced splits and needs no per-job shuffle
+    of raw payloads (extract_spans(..., repartition_input=False)).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    # ~128-384 docs per bucket file: enough task granularity for fine waves,
+    # big enough to amortize per-file open cost
+    n_buckets = n_buckets or max(8, min(512, n_docs // 256))
+    path = path or f"/tmp/qs_corpus_{n_docs}.parquet"
+    if not os.path.isdir(path):
+        (
+            corpus_df(spark, n_docs)
+            .repartition(n_buckets, F.xxhash64("doc_id"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)

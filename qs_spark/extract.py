@@ -144,6 +144,7 @@ def extract_spans(
     chunk_size: int = CHUNK_SIZE,
     split_threshold: int = 64,
     num_partitions: int | None = None,
+    repartition_input: bool = True,
 ) -> DataFrame:
     """(doc_id, spans[]) -> ordered extracted spans.
 
@@ -151,20 +152,35 @@ def extract_spans(
     formats; larger docs are sliced into ceil(n/threshold) parts that extract
     in parallel and re-stitch.  At 100 TB this is the knob that bounds
     per-task memory and wall time regardless of the input's size tail.
+
+    num_partitions defaults to 4x shuffle.partitions: per-doc extraction cost
+    is long-tailed (a big sheet costs ~100x the median doc), so
+    over-partitioning keeps heavy docs from piling up in one task; the ~ms
+    per-partition overhead is cheap against a multi-second straggler.
+
+    The two branches each scan the input (a cheap columnar scan with
+    pushdown on a real table); callers with a generated/expensive source
+    should materialize it first (see corpus.corpus_parquet).
+
+    repartition_input=False skips the salted shuffle of raw payloads for
+    inputs that are ALREADY bucket-partitioned by doc_id hash (Iceberg
+    bucket(doc_id) layout / corpus_parquet): the salting then happened once
+    at write time and the kernel maps directly over scan splits — at 100 TB
+    this removes the single biggest data movement of the job.  Mega-doc
+    skew splitting is independent of this and always on.
     """
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     df = with_fmt(df)
     n_spans = F.size("spans")
     is_mega = F.col("fmt").isin(*SPLITTABLE_FMTS) & (n_spans > split_threshold)
 
     small = df.filter(~is_mega)
-    small_out = (
-        small.repartition(num_partitions, F.xxhash64("doc_id"))
-        .mapInPandas(_make_whole_doc_fn(chunk_size), schema=SPAN_SCHEMA)
-    )
+    if repartition_input:
+        small = small.repartition(num_partitions, F.xxhash64("doc_id"))
+    small_out = small.mapInPandas(_make_whole_doc_fn(chunk_size), schema=SPAN_SCHEMA)
 
     mega = df.filter(is_mega)
     t = F.lit(split_threshold)

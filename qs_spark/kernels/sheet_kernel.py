@@ -94,15 +94,64 @@ def chunk_frame_reference(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> lis
     return chunks
 
 
+def _render(df: pd.DataFrame, lens, hdr) -> str:
+    """Our renderer for all-string frames, byte-equal to
+    df.to_string(index=False): cells right-aligned to
+    max(header, widest cell in slice), single-space column join, newline
+    row join.  Only used after _formula_check validated it byte-for-byte
+    on a sample of this exact frame (including its widest cell)."""
+    import numpy as np
+
+    if df.shape[0] == 0:
+        return df.iloc[0:0].to_string(index=False)  # "Empty DataFrame..." repr
+    widths = np.maximum(hdr, lens.max(axis=0))
+    cols = df.columns.tolist()
+    out_lines = [" ".join(str(c).rjust(int(w)) for c, w in zip(cols, widths))]
+    arrs = [df[c].to_numpy() for c in cols]
+    ws = [int(w) for w in widths]
+    for r in range(df.shape[0]):
+        out_lines.append(" ".join(a[r].rjust(w) for a, w in zip(arrs, ws)))
+    return "\n".join(out_lines)
+
+
+def _formula_check(df: pd.DataFrame):
+    """Enable the closed-form length + fast renderer for all-string frames.
+
+    Validation: render a sample sub-frame (first 64 rows + the row holding
+    the globally widest cell, so any pandas truncation/justify surprise is
+    in-sample) with _render and require BYTE equality with the real
+    to_string.  Any mismatch -> None -> callers fall back to real to_string
+    probing, so correctness never depends on the formula.
+
+    Returns (cell-length matrix, header lengths) or None.
+    """
+    import numpy as np
+
+    if df.shape[0] == 0 or not all(dt == object for dt in df.dtypes):
+        return None
+    try:
+        lens = df.map(len).to_numpy(dtype="int64")
+    except TypeError:
+        return None
+    hdr = np.array([len(str(c)) for c in df.columns], dtype="int64")
+    widest_row = int(lens.max(axis=1).argmax())
+    check_rows = sorted(set(range(min(64, df.shape[0]))) | {widest_row})
+    sub = df.iloc[check_rows]
+    if _render(sub, lens[check_rows], hdr) != sub.to_string(index=False):
+        return None
+    return lens, hdr
+
+
 def chunk_frame(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
     """Semantics-identical fast chunker.
 
     len(df.iloc[a:i+1].to_string(index=False)) is monotone nondecreasing in i
     (more lines, column widths only grow), so the reference inner loop's
-    "largest i with len < chunk_size" is found by galloping + binary search —
-    O(log rows) to_string probes per chunk instead of one per row.  Emitted
-    text still comes from the same to_string call, so output is byte-equal to
-    chunk_frame_reference (asserted in tests over corpus + fixtures).
+    "largest i with len < chunk_size" can be located without formatting every
+    prefix: via a validated closed-form length (all-string frames, the
+    common case) or galloping + binary search with O(log rows) to_string
+    probes.  Emitted text always comes from the same to_string call, so
+    output is byte-equal to chunk_frame_reference (asserted in tests).
 
     The reference quirk where the FIRST probe already overflowing leaves
     _p_row_num at 0 (and the loop would regress) is reproduced/guarded
@@ -112,11 +161,43 @@ def chunk_frame(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
     _row = 0
     chunks: list[str] = []
 
+    formula = _formula_check(df) if num_rows > 32 else None
+    if formula is not None:
+        import numpy as np
+
+        lens, hdr = formula
+
+        def boundary(a: int) -> int:
+            """largest i in [a, n) with formula_len(a..i) < chunk_size, else -1"""
+            w = np.maximum.accumulate(lens[a:], axis=0)  # running col widths
+            sw = np.maximum(w, hdr).sum(axis=1)
+            ll = np.arange(2, num_rows - a + 2, dtype="int64")  # lines incl header
+            total = ll * (sw + lens.shape[1] - 1) + ll - 1
+            idx = int(np.searchsorted(total, chunk_size))  # first >= chunk_size
+            return a + idx - 1 if idx > 0 else -1
+
+        while _row < num_rows:
+            b = boundary(_row)
+            _p_row_num = b if b >= 0 else 0
+            if _p_row_num + 1 <= _row and _row > 0:
+                raise ValueError(
+                    f"row {_row} alone exceeds chunk_size={chunk_size}; "
+                    "reference semantics would loop forever"
+                )
+            chunks.append(
+                _render(df.iloc[_row:_p_row_num], lens[_row:_p_row_num], hdr)
+            )
+            _row = _p_row_num + 1
+        return chunks
+
     def fits(i: int) -> bool:  # len(to_string(rows _row..i)) < chunk_size
         return len(df.iloc[_row : i + 1].to_string(index=False)) < chunk_size
 
     while _row < num_rows:
-        if not fits(_row):
+        if fits(num_rows - 1):
+            # common case: the whole remainder fits -> one probe total
+            _p_row_num = num_rows - 1
+        elif not fits(_row):
             _p_row_num = 0  # reference: inner loop breaks on first probe
         else:
             lo = _row  # known fitting
@@ -125,10 +206,7 @@ def chunk_frame(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
             while hi is None:
                 probe = lo + step
                 if probe >= num_rows:
-                    if fits(num_rows - 1):
-                        lo = num_rows - 1
-                        break
-                    hi = num_rows - 1
+                    hi = num_rows - 1  # not fits (checked above)
                 elif fits(probe):
                     lo = probe
                     step *= 2

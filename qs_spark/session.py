@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # extraction rows are fat and the kernel is CPU-heavy: a 128 MB scan
+        # split is far too coarse (a bucketed input collapses to a handful of
+        # tasks and the job runs in 1.x waves).  4 MB max + 4 MB open cost =
+        # one bucket file per task on bucketed layouts, fine-grained waves
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,110 @@
+"""Structured Streaming ingestion: continuous extraction of arriving docs.
+
+The reference is event-driven — RabbitMQ delivers upload events, a consumer
+with prefetch=1 and a semaphore(2) processes them at-least-once
+(quanta-search-consumer/event_driven/consumer.py:43-257).  There are no
+stream windows or watermarks in the reference (SURVEY.md §2.10); what must
+carry over is the delivery contract: at-least-once consumption made
+exactly-once-effective by idempotent, keyed writes (T5).
+
+Spark mapping: a file-source stream (arriving parquet batches of
+(doc_id, spans[]) docs = the queue) -> foreachBatch running the SAME batch
+extraction pipeline -> idempotent append keyed by (doc_id, order).
+foreachBatch gives at-least-once per micro-batch; the dedup-on-read view
+(latest batch_id wins per doc) makes replays harmless — the streaming analog
+of the checkpoint module's bucket overwrite.
+
+For event-time analytics over the `events` table we expose a windowed
+aggregation builder usable both in batch (tests/oracle) and with
+withWatermark on a stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from qs_spark.extract import extract_spans
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    chunk_size: int = 102400,
+    trigger_once: bool = True,
+):
+    """Continuous extraction: watch input_dir for doc-table parquet files,
+    extract each micro-batch, append spans tagged with the batch id.
+
+    Returns the StreamingQuery.  trigger_once processes the backlog and
+    stops (the test/CI mode); production would use a processingTime trigger.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("text", T.StringType()),
+                            T.StructField("media_ref", T.StringType()),
+                            T.StructField("offset", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        spans = extract_spans(batch_df, chunk_size=chunk_size)
+        (
+            spans.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
+def dedup_on_read(spans: DataFrame) -> DataFrame:
+    """Exactly-once-effective view over at-least-once appends: latest
+    batch_id wins per (doc_id, order) — replayed micro-batches vanish."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "order").orderBy(F.desc("batch_id"))
+    return (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling-window counts per event_type; pass watermark on a stream for
+    bounded state + late-data handling."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )

@@ -77,6 +77,16 @@ def test_fast_chunker_equals_reference_loop():
                     chunk_frame_reference(df, cs)
                 continue
             assert a == chunk_frame_reference(df, cs), (trial, cs)
+    # formula/renderer path (>32 rows) incl. a >50-char cell (pandas
+    # truncation risk must be in the validation sample)
+    big = pd.DataFrame(
+        {
+            "a": ["x" * 120 if r == 77 else f"w{r}" for r in range(200)],
+            "b": ["y"] * 200,
+        }
+    )
+    for cs in (400, 5000, 102400):
+        assert chunk_frame(big, cs) == chunk_frame_reference(big, cs), cs
 
 
 def test_unnamed_retry_loop():

@@ -1,0 +1,73 @@
+"""Registry state machine (T1), version skip (P3), delete cascade (T4),
+status resolve (T2) — reference: quanta-search-consumer/core/file_upload.py.
+"""
+
+from pyspark.sql import functions as F
+
+from qs_spark.registry import (
+    backfill_uploaded_date,
+    delete_versions,
+    publish_transition,
+    resolve_status,
+    skip_existing_versions,
+)
+
+
+def _registry(spark):
+    rows = [
+        ("d1", 0, "Draft", "Success", "2026-01-01"),
+        ("d1", 1, "Publish", "Success", "2026-01-02"),
+        ("d1", 2, "Publish", "Success", "2026-01-03"),
+        ("d2", 0, "Draft", "Processing", "2026-01-04"),
+        ("d2", 1, "Publish", "Success", "2026-01-05"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, version_id int, state string, status string, uploaded_date string"
+    )
+
+
+def test_publish_transition_t1(spark):
+    # publish v2 of d1: v1 -> inter, v0 stays Draft, other docs untouched
+    out = publish_transition(_registry(spark), "d1", 2).toPandas().set_index(["doc_id", "version_id"])
+    assert out.loc[("d1", 2), "state"] == "Publish"
+    assert out.loc[("d1", 1), "state"] == "inter"
+    assert out.loc[("d1", 0), "state"] == "Draft"
+    assert out.loc[("d2", 1), "state"] == "Publish"
+
+
+def test_version_skip_p3(spark):
+    reg = _registry(spark)
+    incoming = spark.createDataFrame(
+        [("d1", 1), ("d1", 3), ("d3", 0)], "doc_id string, version_id int"
+    )
+    out = skip_existing_versions(incoming, reg).toPandas()
+    assert set(map(tuple, out.values)) == {("d1", 3), ("d3", 0)}
+
+
+def test_delete_cascade_t4(spark):
+    reg = _registry(spark)
+    spans = spark.createDataFrame(
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 1, "c")],
+        "doc_id string, version_id int, text string",
+    )
+    r1, s1 = delete_versions(reg, spans, "d1", 2)
+    assert r1.filter("doc_id='d1' and version_id=2").count() == 0
+    assert s1.filter("doc_id='d1' and version_id=2").count() == 0
+    assert s1.count() == 2
+    # version_id None -> all versions, registry row disappears entirely
+    r2, s2 = delete_versions(reg, spans, "d1", None)
+    assert r2.filter("doc_id='d1'").count() == 0
+    assert s2.filter("doc_id='d1'").count() == 0
+
+
+def test_backfill_earliest_date_j5(spark):
+    out = backfill_uploaded_date(_registry(spark)).toPandas()
+    assert (out[out.doc_id == "d1"]["first_uploaded"] == "2026-01-01").all()
+
+
+def test_status_writeback_t2(spark):
+    reg = _registry(spark)
+    results = spark.createDataFrame([("d2", "Success")], "doc_id string, outcome string")
+    out = resolve_status(reg, results).toPandas()
+    assert (out[out.doc_id == "d2"]["status"] == "Success").all()
+    assert (out[out.doc_id == "d1"]["status"] == "Success").all()

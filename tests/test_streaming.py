@@ -1,0 +1,54 @@
+"""Streaming ingestion: file-source stream -> foreachBatch extraction ->
+idempotent append; exactly-once-effective via dedup-on-read (T5 contract).
+"""
+
+import pandas as pd
+
+from qs_spark.corpus import corpus_df, gen_doc
+from qs_spark.extract import oracle_extract
+from qs_spark.streaming import dedup_on_read, stream_extract, windowed_event_counts
+
+
+def test_stream_extract_matches_oracle(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # two "arriving" micro-batch files
+    corpus_df(spark, 40).write.mode("overwrite").parquet(in_dir)
+    q = stream_extract(spark, in_dir, out_dir, ck)
+    q.awaitTermination(120)
+
+    got = dedup_on_read(spark.read.parquet(out_dir)).toPandas()
+    got = (
+        got[["doc_id", "order", "kind", "text", "media_ref"]]
+        .sort_values(["doc_id", "order"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got["order"] = got["order"].astype("int64")
+    want = (
+        oracle_extract([gen_doc(i) for i in range(40)])
+        .sort_values(["doc_id", "order"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_on_read_kills_replays(spark, tmp_path):
+    out_dir = str(tmp_path / "replay")
+    from qs_spark.extract import extract_spans
+    from pyspark.sql import functions as F
+
+    spans = extract_spans(corpus_df(spark, 10))
+    # simulate an at-least-once replay: same batch appended twice
+    spans.withColumn("batch_id", F.lit(0)).write.mode("append").parquet(out_dir)
+    spans.withColumn("batch_id", F.lit(1)).write.mode("append").parquet(out_dir)
+    raw = spark.read.parquet(out_dir)
+    deduped = dedup_on_read(raw)
+    assert deduped.count() * 2 == raw.count()
+
+
+def test_windowed_event_counts_batch(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = windowed_event_counts(ev, "1 hour").toPandas()
+    assert out["n_events"].sum() == ev.count()
+    assert (out.groupby(["window_start", "event_type"]).size() == 1).all()

@@ -1,0 +1,99 @@
+"""Training-data ops: dedup family, ANN, text analysis — semantic checks
+(the value-level parity vs DuckDB runs in tools/check_oracle.py and the
+driver harness)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from qs_spark import textops as X
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_partitions_docs(spark):
+    d = _docs(spark)
+    out = X.dedup_exact(d).toPandas()
+    assert out["n_dups"].sum() == d.count()  # every doc in exactly one group
+
+
+def test_minhash_lsh_finds_true_duplicates(spark):
+    d = _docs(spark)
+    # plant an exact duplicate pair: same text, new ids
+    base = d.limit(1).select(F.lit(900001).alias("doc_id"), "text", "lang", "source", "n_chars")
+    dup = base.select(F.lit(900002).alias("doc_id"), "text", "lang", "source", "n_chars")
+    planted = d.unionByName(base.unionByName(dup))
+    pairs = X.lsh_candidate_pairs(planted).toPandas()
+    assert ((pairs.doc_a == 900001) & (pairs.doc_b == 900002)).any()
+
+
+def test_minhash_similar_docs_share_signature_bits(spark):
+    d = _docs(spark)
+    sigs = X.minhash_signatures(d.limit(20)).toPandas()
+    assert len(sigs) == 20
+    assert sigs.filter(like="mh").notna().all().all()
+
+
+def test_simhash_identical_texts_equal(spark):
+    d = _docs(spark).limit(5)
+    a = X.simhash(d).toPandas().set_index("doc_id")["simhash"]
+    b = X.simhash(d).toPandas().set_index("doc_id")["simhash"]
+    assert (a == b).all()
+    assert (a >= 0).all() and (a < (1 << X.SIMHASH_BITS)).all()
+
+
+def test_jaccard_bounds_and_symmetric_blocking(spark):
+    d = _docs(spark).filter(F.col("source") == "src0")
+    out = X.ngram_jaccard_pairs(d).toPandas()
+    if len(out):
+        assert ((out.jaccard > 0) & (out.jaccard <= 1)).all()
+        assert (out.doc_a < out.doc_b).all()
+
+
+def test_ann_bruteforce_top1_is_query_itself(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    top = X.ann_bruteforce(ed, qvec, k=5).toPandas()
+    assert top.iloc[0].vec_id == 0  # cosine(q, q) = 1
+    assert abs(top.iloc[0].cosine - 1.0) < 1e-6
+    assert top.cosine.is_monotonic_decreasing
+
+
+def test_ann_lsh_subset_of_bruteforce_ordering(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    lsh = X.ann_lsh(ed, qvec, k=5).toPandas()
+    assert len(lsh) > 0
+    assert lsh.iloc[0].vec_id == 0  # query's own bucket contains itself
+    # every LSH result's cosine must equal the exact cosine (same formula)
+    bf = X.ann_bruteforce(ed, qvec, k=2000).toPandas().set_index("vec_id")["cosine"]
+    for _, r in lsh.iterrows():
+        assert abs(bf[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_quality_and_langid_ranges(spark):
+    d = _docs(spark)
+    q = X.text_quality(d).toPandas()
+    assert ((q.quality >= 0) & (q.quality <= 1)).all()
+    li = X.lang_id(d).toPandas()
+    assert set(li.lang_pred.unique()) <= {"en", "other"}
+
+
+def test_compute_score_reference_constants():
+    # F10 column expr == reference compute_score (utils/util.py:165-192)
+    from qs_spark.search import compute_score_col
+
+    ref = min(0.7 + 0.3 * math.log(1 + 7) / math.log(1 + 40), 0.9995)
+    from qs_spark.session import get_spark
+
+    spark = get_spark("t", cores=8)
+    got = spark.range(1).select(
+        compute_score_col(F.lit(7.0), F.lit(40.0)).alias("s")
+    ).first().s
+    assert abs(got - round(ref, 6)) < 1e-9
