@@ -442,6 +442,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x35_ann_lsh_bucketed"] = x35
 
+    # --- scalar/util operators (F6/F7/P8/U2/S12/A3/A4) ---
+    def q36(spark, sf):
+        from qs_spark.scalars import file_extension, url_to_filename
+
+        d = _docs(spark, sf)
+        url = F.concat(
+            F.lit("https://bucket.s3.amazonaws.com/files/doc%20"),
+            d.doc_id.cast("string"),
+            F.lit(".pdf?X-Amz-Signature=abc&X-Amz-Expires=3600"),
+        )
+        fn = url_to_filename(url)
+        return d.select("doc_id", fn.alias("file_name"), file_extension(fn).alias("ext"))
+
+    q["q36_url_to_filename"] = q36
+
+    def q37(spark, sf):
+        from qs_spark.scalars import sha256_checksum
+
+        return _docs(spark, sf).select(
+            "doc_id", sha256_checksum(F.col("text")).alias("checksum")
+        )
+
+    q["q37_sha256_checksum"] = q37
+
+    def q38(spark, sf):
+        from qs_spark.scalars import realm_key_diff
+
+        d = _docs(spark, sf)
+        presented = F.when(d.doc_id % 2 == 0, F.array(F.lit("lang"), F.lit("tier"))).otherwise(
+            F.array(F.lit("lang"), F.lit("region"))
+        )
+        missing, extra = realm_key_diff(presented, ["lang", "region"])
+        return d.select("doc_id", missing.alias("missing_keys"), extra.alias("extra_keys"))
+
+    q["q38_realm_key_diff"] = q38
+
+    def q39(spark, sf):
+        from qs_spark.scalars import assign_index_ids
+
+        return assign_index_ids(
+            _docs(spark, sf).select("doc_id"), last_index_id=1000
+        )
+
+    q["q39_assign_index_ids"] = q39
+
+    def q40(spark, sf):
+        from qs_spark.scalars import assign_index_ids
+
+        ids = assign_index_ids(_docs(spark, sf).select("doc_id", "source"), 0)
+        return ids.groupBy("source").agg(
+            F.count("*").alias("total_vdocs"),  # A3
+            F.max("index_id").alias("max_index_id"),  # A4
+        )
+
+    q["q40_registry_stats"] = q40
+
+    def x41(spark, sf):
+        from qs_spark.previews import preview_docs
+
+        n = min(_docs(spark, sf).count(), 1500)
+        store = build_store(extract_spans(corpus_parquet(spark, n)))
+        ids = [f"doc{i:08d}" for i in range(60)]
+        return preview_docs(store, "table", ids)
+
+    q["x41_preview_docs_pages"] = x41
+
     return q
 
 
@@ -738,5 +804,34 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'doc' || doc_id AS doc_id, 0 AS span_order, 'html_text' AS kind,"
         " text, '' AS media_ref FROM documents WHERE length(trim(text)) > 0"
     )
+
+    # url built with %20 only -> decode == replace (DuckDB 1.0 lacks url_decode)
+    o["q36_url_to_filename"] = (
+        "SELECT doc_id,"
+        " replace('doc%20' || doc_id || '.pdf', '%20', ' ') AS file_name,"
+        " '.pdf' AS ext FROM documents"
+    )
+
+    o["q37_sha256_checksum"] = "SELECT doc_id, sha256(text) AS checksum FROM documents"
+
+    o["q38_realm_key_diff"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN ['region'] ELSE CAST([] AS VARCHAR[]) END AS missing_keys,
+               CASE WHEN doc_id % 2 = 0 THEN ['tier'] ELSE CAST([] AS VARCHAR[]) END AS extra_keys
+        FROM documents
+    """
+
+    o["q39_assign_index_ids"] = (
+        "SELECT doc_id, cast(row_number() OVER (ORDER BY doc_id) + 1000 AS int)"
+        " AS index_id FROM documents"
+    )
+
+    o["q40_registry_stats"] = """
+        WITH ids AS (SELECT doc_id, source,
+                     cast(row_number() OVER (ORDER BY doc_id) AS int) AS index_id
+                     FROM documents)
+        SELECT source, count(*) AS total_vdocs, max(index_id) AS max_index_id
+        FROM ids GROUP BY source
+    """
 
     return o

@@ -89,21 +89,28 @@ def search_with_previews(store: DataFrame, query: str, exact_match: bool = False
     )
     if exact_match:
         rows = rows.filter(F.contains(F.col("text"), F.lit(query__)))
-    n_files_df = rows.select("document_name").distinct().agg(F.count("*").alias("n_files"))
-    rows = rows.crossJoin(F.broadcast(n_files_df))
 
-    def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
+    # Score + threshold JVM-side FIRST (F10, P7): the pandas preview kernel
+    # then only runs over rows of the (usually few) surviving files — the
+    # reference also previews only above-threshold files
+    # (file_searcher.py:327-341).  The survivor set is per-file (small), so
+    # the global window + broadcast join are cheap at any store size.
+    from pyspark.sql import Window
 
+    per_file = rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
+    survivors = (
+        per_file.withColumn("n_files", F.count("*").over(Window.partitionBy()))
+        .withColumn("avg_score", S.compute_score_col(F.col("match_count"), F.col("n_files")))
+        .filter(F.col("avg_score") > S.CUTOFF)
+        .select("document_name", "match_count", "avg_score")
+    )
+    surviving_rows = rows.select("document_name", "document_id", "page_no", "text").join(
+        F.broadcast(survivors), "document_name"
+    )
+
+    def per_file_previews(pdf: pd.DataFrame) -> pd.DataFrame:
         name = pdf["document_name"].iloc[0]
-        n_files = int(pdf["n_files"].iloc[0])
-        count = len(pdf)
-        # F10 (utils/util.py:165-192)
-        avg_score = round(
-            min(0.7 + 0.3 * (math.log(1 + count) / math.log(1 + n_files)), 0.9995), 6
-        )
-        if avg_score <= S.CUTOFF:
-            return pd.DataFrame(columns=[f.name for f in _RESULT_SCHEMA.fields])
+        avg_score = float(pdf["avg_score"].iloc[0])
         pdf = pdf.sort_values(["document_id", "page_no"], kind="mergesort")
         texts = [
             t.replace(f"file name : {name}", "") for t in pdf["text"]
@@ -117,20 +124,20 @@ def search_with_previews(store: DataFrame, query: str, exact_match: bool = False
             score + (S.MAX_SCORE - score) * min(len(previews) / S.PREVIEW_DIVISOR, 1),
             S.MAX_SCORE,
         )
-        if exact_match and not previews:
+        if exact_match and not previews:  # file_searcher.py:346
             return pd.DataFrame(columns=[f.name for f in _RESULT_SCHEMA.fields])
         return pd.DataFrame(
             {
                 "document_name": [name],
-                "match_count": [count],
+                "match_count": [int(pdf["match_count"].iloc[0])],
                 "relavence_score": [round(score * 100, 3)],
                 "preview": [previews],
             }
         )
 
     return (
-        rows.groupBy("document_name")
-        .applyInPandas(per_file, schema=_RESULT_SCHEMA)
+        surviving_rows.groupBy("document_name")
+        .applyInPandas(per_file_previews, schema=_RESULT_SCHEMA)
         .orderBy(F.desc("relavence_score"), "document_name")
         .limit(S.MAX_DOC_LIMIT)
     )
@@ -138,3 +145,58 @@ def search_with_previews(store: DataFrame, query: str, exact_match: bool = False
 
 def normalize_query_cached(query: str):
     return S.normalize_query(query)
+
+
+_PAGE_PREVIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("document_id", T.StringType()),
+        T.StructField("document_name", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("previews", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def preview_docs(
+    store: DataFrame, query: str, doc_ids: list[str], state: str = "Publish"
+) -> DataFrame:
+    """The /user/search_preview flow (W3 + P9 + F8 + O3):
+    fetch rows for the requested docs (+state filter, P4), strip the
+    filename tag (F8), window previews per page (W1/W2), emit
+    {page_no, previews} sorted by page_no (O3).  A5 preview_count =
+    sum(size(previews)) is one agg over the result.
+
+    Reference: quanta-search-api/core/file_preview.py:146-203 + router
+    api.py:928-994.
+    """
+    query__ = query.strip().lower()
+    rows = store.filter(
+        (F.col("state") == state) & F.col("document_id").isin(doc_ids)
+    ).select("document_id", "document_name", "page_no", "text")
+
+    def per_page(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in ("document_id", "document_name", "page_no", "previews")}
+        for _, r in pdf.iterrows():
+            text = r["text"].replace(f"file name : {r['document_name']}", "")  # F8
+            previews = process_single_text(text, query__, S.PREVIEW_LENGTH, -1)
+            if previews:
+                out["document_id"].append(r["document_id"])
+                out["document_name"].append(r["document_name"])
+                out["page_no"].append(int(r["page_no"]))
+                out["previews"].append(previews)
+        if not out["document_id"]:
+            # typed-empty frame: a bare {} gives float64 columns, which Arrow
+            # refuses to cast to list<string>
+            return pd.DataFrame({k: pd.Series(dtype=object) for k in out})
+        return pd.DataFrame(out)
+
+    return (
+        rows.groupBy("document_id")
+        .applyInPandas(per_page, schema=_PAGE_PREVIEW_SCHEMA)
+        .orderBy("document_id", "page_no")  # O3 (file_searcher.py:397-399)
+    )
+
+
+def preview_count(previews_df: DataFrame):
+    """A5 (router api.py:977): total preview snippets."""
+    return previews_df.agg(F.sum(F.size("previews")).alias("preview_count"))

@@ -1,0 +1,56 @@
+"""Scalar / utility column functions from the reference's util layer.
+
+F6  url -> filename      (quanta-search-consumer/core/extractor.py:73;
+                          unquote(os.path.split(url.split("?")[0])[-1]))
+F7  SHA-256 checksum     (quanta-search-consumer/utils/aws_s3.py:55-61)
+P8  realm-key validation (quanta-search-api/utils/util.py:102-125: symmetric
+                          difference of presented vs registered key sets)
+S12 monotonic index ids  (quanta-search-consumer/core/file_upload.py:417-420:
+                          ids assigned last_id + idx + 1 over the doc list)
+A3  total-doc counter    (file_upload.py:248-296)
+A4  max index id         (file_upload.py:395-396)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def url_to_filename(url_col):
+    """F6: strip query string, take the last path segment, percent-decode."""
+    path = F.split(url_col, r"\?").getItem(0)
+    last = F.element_at(F.split(path, "/"), -1)
+    return F.url_decode(last)
+
+
+def file_extension(filename_col):
+    """os.path.splitext semantics: text after the LAST dot, with the dot;
+    no dot (or leading-dot-only) -> empty string."""
+    return F.when(
+        filename_col.rlike(r"..*\.[^.]*$"), F.regexp_extract(filename_col, r"(\.[^.]*)$", 1)
+    ).otherwise(F.lit(""))
+
+
+def sha256_checksum(col):
+    """F7: hex SHA-256 of the payload (reference streams 128 KiB chunks into
+    hashlib; one column expr on the whole value is the columnar equivalent)."""
+    return F.sha2(col, 256)
+
+
+def realm_key_diff(presented_keys_col, registered_keys: list[str]):
+    """P8/U2: (missing, extra) key arrays — the symmetric difference the
+    reference computes with set ops (api utils/util.py:123)."""
+    reg = F.array(*[F.lit(k) for k in registered_keys])
+    missing = F.array_except(reg, presented_keys_col)
+    extra = F.array_except(presented_keys_col, reg)
+    return missing, extra
+
+
+def assign_index_ids(df: DataFrame, last_index_id: int = 0, order_cols=("doc_id",)) -> DataFrame:
+    """S12: monotonically increasing ids, resuming from a stored offset
+    (the checkpoint's last_index_id, T3).  A global row_number is a single
+    total order — at 100 TB you'd assign per-bucket ranges instead
+    (bucket_offset + local row_number); this is the semantic reference shape.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn("index_id", F.row_number().over(w) + F.lit(last_index_id))

@@ -148,10 +148,13 @@ def search_rank(store: DataFrame, query: str, exact_match: bool = False) -> Data
     if exact_match:
         rows = rows.filter(F.contains(F.col("text"), F.lit(query__)))  # P6
     per_file = rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
-    # fl_score_len = DISTINCT file count of the result set (file_searcher.py:322)
-    total = per_file.agg(F.count("*").alias("n_files"))
+    # fl_score_len = DISTINCT file count of the result set (file_searcher.py:322),
+    # taken as a global window over the ALREADY-AGGREGATED per-file rows: one
+    # row per matching file, so the single-partition window is tiny and the
+    # store is scanned exactly once (a separate .agg() would re-scan it)
+    w_all = Window.partitionBy()
     scored = (
-        per_file.crossJoin(F.broadcast(total))
+        per_file.withColumn("n_files", F.count("*").over(w_all))
         .withColumn("relavence_score", compute_score_col(F.col("match_count"), F.col("n_files")))
         .filter(F.col("relavence_score") > CUTOFF)  # P7
         .select(

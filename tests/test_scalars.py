@@ -1,0 +1,72 @@
+"""Scalar/util operators (F6/F7/P8/S12) + preview_docs page flow (W3/O3/A5)."""
+
+from pyspark.sql import functions as F
+
+from qs_spark.scalars import (
+    assign_index_ids,
+    file_extension,
+    realm_key_diff,
+    sha256_checksum,
+    url_to_filename,
+)
+
+
+def test_url_to_filename_f6(spark):
+    # reference: unquote(os.path.split(url.split("?")[0])[-1]) (extractor.py:73)
+    df = spark.createDataFrame(
+        [("https://b.s3.amazonaws.com/x/My%20Report.pdf?X-Amz-Signature=s",)], ["url"]
+    )
+    row = df.select(
+        url_to_filename(F.col("url")).alias("fn"),
+        file_extension(url_to_filename(F.col("url"))).alias("ext"),
+    ).first()
+    assert row.fn == "My Report.pdf"
+    assert row.ext == ".pdf"
+
+
+def test_file_extension_edge_cases(spark):
+    df = spark.createDataFrame([("a.tar.gz",), ("noext",), (".hidden",)], ["f"])
+    got = {r.f: r.ext for r in df.select("f", file_extension(F.col("f")).alias("ext")).collect()}
+    # os.path.splitext parity: last-dot suffix; ".hidden" has NO extension
+    assert got == {"a.tar.gz": ".gz", "noext": "", ".hidden": ""}
+
+
+def test_sha256_matches_hashlib(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("hello world",)], ["t"])
+    got = df.select(sha256_checksum(F.col("t")).alias("c")).first().c
+    assert got == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_realm_key_diff_p8(spark):
+    df = spark.createDataFrame([(["lang", "tier"],)], ["presented"])
+    missing, extra = realm_key_diff(F.col("presented"), ["lang", "region"])
+    row = df.select(missing.alias("m"), extra.alias("e")).first()
+    assert row.m == ["region"] and row.e == ["tier"]
+
+
+def test_assign_index_ids_monotonic_resume(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], ["doc_id"])
+    out = {r.doc_id: r.index_id for r in assign_index_ids(df, last_index_id=100).collect()}
+    assert out == {"a": 101, "b": 102, "c": 103}  # resumes from checkpoint id
+
+
+def test_preview_docs_pages_sorted(spark):
+    from qs_spark.corpus import corpus_parquet
+    from qs_spark.extract import extract_spans
+    from qs_spark.previews import preview_count, preview_docs
+    from qs_spark.store import build_store
+
+    store = build_store(extract_spans(corpus_parquet(spark, 120)))
+    ids = [f"doc{i:08d}" for i in range(60)]
+    out = preview_docs(store, "table", ids).toPandas()
+    assert len(out) > 0
+    assert out["previews"].map(len).min() >= 1
+    # O3: pages sorted within each doc
+    for _, g in out.groupby("document_id"):
+        assert list(g.page_no) == sorted(g.page_no)
+    # A5
+    spark_out = preview_docs(store, "table", ids)
+    cnt = preview_count(spark_out).first().preview_count
+    assert cnt == int(out["previews"].map(len).sum())

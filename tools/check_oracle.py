@@ -22,10 +22,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
         try:
             if str(df[c].dtype).startswith(("int", "uint", "Int")):
                 df[c] = df[c].astype("int64")
