@@ -498,6 +498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q40_registry_stats"] = q40
 
+    def q42(spark, sf):
+        return S.text_search_scored(_docs_as_store(spark, sf), TERMS)
+
+    q["q42_text_search_sigmoid"] = q42
+
     def x41(spark, sf):
         from qs_spark.previews import preview_docs
 
@@ -661,15 +666,20 @@ def oracle_sql() -> dict[str, str]:
         " min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY fp"
     )
 
+    P = X.MINHASH_P
     mh_aggs = ", ".join(
-        "min({h}) AS mh{i}".format(h=_h60_sql(f"'{i}:' || sh"), i=i)
-        for i in range(X.MINHASH_K)
+        f"min((h1 + {i} * h2) % {P}) AS mh{i}" for i in range(X.MINHASH_K)
+    )
+    _H12_SQL = (
+        f"SELECT doc_id, {_h60_sql('sh')} % {P} AS h1,"
+        f" cast(('0x' || substr(md5(sh), 17, 15)) AS BIGINT) % {P} AS h2 FROM sh"
     )
     o["q20_minhash_signatures"] = f"""
         WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
         sh AS (SELECT DISTINCT doc_id, sh FROM (
-          SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks))
-        SELECT doc_id, {mh_aggs} FROM sh GROUP BY doc_id
+          SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks)),
+        h AS ({_H12_SQL})
+        SELECT doc_id, {mh_aggs} FROM h GROUP BY doc_id
     """
 
     rows_per_band = X.MINHASH_K // X.LSH_BANDS
@@ -686,7 +696,8 @@ def oracle_sql() -> dict[str, str]:
         WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
         sh AS (SELECT DISTINCT doc_id, sh FROM (
           SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks)),
-        sig AS (SELECT doc_id, {mh_aggs} FROM sh GROUP BY doc_id),
+        h AS ({_H12_SQL}),
+        sig AS (SELECT doc_id, {mh_aggs} FROM h GROUP BY doc_id),
         b AS ({band_selects})
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
@@ -825,6 +836,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, cast(row_number() OVER (ORDER BY doc_id) + 1000 AS int)"
         " AS index_id FROM documents"
     )
+
+    o["q42_text_search_sigmoid"] = f"""
+        WITH t AS (
+          SELECT cast(doc_id AS varchar) AS document_id, source AS document_name,
+                 3.0 * len(list_filter(
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                   x -> list_contains({terms_sql}, x))) AS score
+          FROM documents),
+        f AS (SELECT * FROM t WHERE score >= 0.655),
+        d AS (SELECT document_name, score,
+                     row_number() OVER (PARTITION BY document_name
+                                        ORDER BY score DESC, document_id) AS rn
+              FROM f)
+        SELECT document_name, round(1 / (1 + exp(-1.0 * score)), 6) AS relavence_score
+        FROM d WHERE rn = 1
+    """
 
     o["q40_registry_stats"] = """
         WITH ids AS (SELECT doc_id, source,

@@ -168,6 +168,30 @@ def search_rank(store: DataFrame, query: str, exact_match: bool = False) -> Data
     return scored
 
 
+def text_search_scored(store: DataFrame, terms: list[str]) -> DataFrame:
+    """R4: the Mongo $text alternate retrieval path
+    (inverted_index_retiver.py:117-155): textScore (modeled as the count of
+    query-term occurrences in the row) x3 -> sort desc -> $group $first per
+    file -> sigmoid -> threshold on the RAW score (the reference thresholds
+    `score`, not the sigmoid) -> project relavence_score.
+    """
+    df = with_tokens(store)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = F.size(F.filter("tokens", lambda x: F.array_contains(term_arr, x)))
+    scored = df.withColumn("score", 3.0 * tf).filter(F.col("score") >= CUTOFF)
+    w = Window.partitionBy("document_name").orderBy(F.desc("score"), "document_id", "page_no")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "document_name",
+            # plain sigmoid here: the x3 already happened in `score`
+            # (ref: $multiply [3, scoreint] then 1/(1+exp(-1*score)))
+            F.round(1 / (1 + F.exp(-1.0 * F.col("score"))), 6).alias("relavence_score"),
+        )
+    )
+
+
 def bm25l_phrase(store: DataFrame, terms: list[str], k1=1.2, b=0.75, delta=0.5) -> DataFrame:
     """R1: BM25L-scored phrase retrieval (PyQueryNode.phrase + 'bm25l',
     inverted_index_retiver.py:42-54).  The external index's scorer is

@@ -60,33 +60,50 @@ def shingles_col(n: int = 3, text_col="text"):
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
     """K-permutation MinHash over word-3-gram shingles.
-    h_i(s) = h60(i || ':' || s); signature = [min_s h_i(s)]_i."""
-    sh = docs.select("doc_id", F.explode(shingles_col(n)).alias("sh")).distinct()
+
+    One md5 per shingle, split into two 60-bit halves h1/h2; permutation i is
+    (h1 + i*h2) mod P (Kirsch-Mitzenmacher double hashing, 2006 — k
+    pairwise-independent functions from two) — 16x fewer md5 evaluations than
+    hashing per permutation, same LSH guarantees.  All arithmetic stays in
+    BIGINT range (operands < 2^31, i*h2 < 2^36) and is reproducible in the
+    DuckDB oracle.
+    """
+    # no .distinct(): min() is duplicate-insensitive, so deduping shingles
+    # would only add a shuffle
+    sh = docs.select("doc_id", F.explode(shingles_col(n)).alias("sh"))
+    md5 = F.md5(F.col("sh"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint") % MINHASH_P
+    h2 = F.conv(F.substring(md5, 17, 15), 16, 10).cast("bigint") % MINHASH_P
+    sh = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(h60(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}") for i in range(k)
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % MINHASH_P).alias(f"mh{i}")
+        for i in range(k)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_buckets(sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> DataFrame:
-    """Band the signature: bucket = md5 of the band's joined minhashes."""
+    """Band the signature: bucket = md5 of the band's joined minhashes.
+    Bands unfold via ONE explode — a union of per-band selects would
+    re-execute the whole signature pipeline once per band."""
     rows_per_band = k // bands
-    out = []
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        out.append(
-            sigs.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"),
             )
         )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
