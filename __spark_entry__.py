@@ -513,6 +513,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x41_preview_docs_pages"] = x41
 
+    def q43(spark, sf):
+        # P2: path dedup (reference: set() over input file paths)
+        d = _docs(spark, sf)
+        dup = d.select((d.doc_id % 100).alias("path_key"), "doc_id")
+        return dup.groupBy("path_key").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "path_key")
+
+    q["q43_path_dedup"] = q43
+
+    def q45(spark, sf):
+        # U1: union of retrieval modes (sp_index + text_search), deduped
+        st = _docs_as_store(spark, sf)
+        sp = (
+            S._match_rows_or(st, TERMS)
+            .select("document_name")
+            .distinct()
+            .withColumn("mode", F.lit("sp_index"))
+        )
+        ts = S.text_search_scored(st, TERMS).select("document_name").withColumn(
+            "mode", F.lit("text_search")
+        )
+        return sp.unionByName(ts)
+
+    q["q45_union_modes"] = q45
+
+    def q46(spark, sf):
+        # embedding-cosine near-dup pairs, blocked by label (the ANN family's
+        # pairwise variant)
+        e = _emb(spark, sf).withColumn(
+            "ev", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("a.ev"), F.col("b.ev"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        n1 = F.sqrt(F.aggregate(F.col("a.ev"), F.lit(0.0), lambda a, x: a + x * x))
+        n2 = F.sqrt(F.aggregate(F.col("b.ev"), F.lit(0.0), lambda a, x: a + x * x))
+        pairs = (
+            e.alias("a")
+            .join(e.alias("b"), "label")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(dot / (n1 * n2), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.35)
+        )
+        return pairs
+
+    q["q46_embedding_near_dup"] = q46
+
+    def x47(spark, sf):
+        # S13/T2/T3: checkpoint lineage rows after a checkpointed run
+        import tempfile
+
+        from qs_spark.catalog import ParquetCatalog
+        from qs_spark.checkpoint import CKPT_TABLE, run_extract_checkpointed
+
+        wh = tempfile.mkdtemp(prefix="qs_ckpt_q_")
+        cat = ParquetCatalog(wh)
+        docs = corpus_parquet(spark, 200)
+        run_extract_checkpointed(spark, docs, cat, run_id="driver", n_buckets=8, buckets_per_wave=4)
+        return cat.read(spark, CKPT_TABLE).select(
+            "bucket", "doc_count", "span_count", "status", "run_id"
+        )
+
+    q["x47_checkpoint_lineage"] = x47
+
+    def x48(spark, sf):
+        from qs_spark.multimodal import extract_features, synth_media_df
+
+        return extract_features(synth_media_df(spark, 512))
+
+    q["x48_media_features"] = x48
+
+    def x49(spark, sf):
+        from qs_spark.multimodal import sample_frames, synth_media_df
+
+        return sample_frames(synth_media_df(spark, 512))
+
+    q["x49_video_frame_sample"] = x49
+
     return q
 
 
@@ -851,6 +934,38 @@ def oracle_sql() -> dict[str, str]:
               FROM f)
         SELECT document_name, round(1 / (1 + exp(-1.0 * score)), 6) AS relavence_score
         FROM d WHERE rn = 1
+    """
+
+    o["q43_path_dedup"] = (
+        "SELECT min(doc_id) AS doc_id, doc_id % 100 AS path_key FROM documents"
+        " GROUP BY doc_id % 100"
+    )
+
+    o["q45_union_modes"] = f"""
+        WITH t AS (
+          SELECT source AS document_name,
+                 3.0 * len(list_filter(
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                   x -> list_contains({terms_sql}, x))) AS score
+          FROM documents),
+        sp AS (SELECT DISTINCT document_name, 'sp_index' AS mode FROM t WHERE score > 0),
+        d AS (SELECT document_name,
+                     row_number() OVER (PARTITION BY document_name ORDER BY score DESC) AS rn
+              FROM t WHERE score >= 0.655),
+        ts AS (SELECT document_name, 'text_search' AS mode FROM d WHERE rn = 1)
+        SELECT * FROM sp UNION ALL SELECT * FROM ts
+    """
+
+    o["q46_embedding_near_dup"] = """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(
+                   list_sum(list_transform(range(len(a.ev)), i -> a.ev[i+1] * b.ev[i+1])) /
+                   (sqrt(list_sum(list_transform(a.ev, x -> x * x))) *
+                    sqrt(list_sum(list_transform(b.ev, x -> x * x)))), 6) AS cosine
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.35
     """
 
     o["q40_registry_stats"] = """

@@ -1,0 +1,59 @@
+"""Multimodal plumbing: binary payload columns, metadata-only ops, stubbed
+decode determinism, feature vectors feeding ANN."""
+
+from pyspark.sql import functions as F
+
+from qs_spark import textops as X
+from qs_spark.multimodal import (
+    extract_features,
+    plan_resize,
+    sample_frames,
+    synth_media_df,
+)
+
+
+def test_media_schema_and_determinism(spark):
+    m = synth_media_df(spark, 64)
+    a = extract_features(m).toPandas().sort_values("media_ref").reset_index(drop=True)
+    b = extract_features(m).toPandas().sort_values("media_ref").reset_index(drop=True)
+    assert len(a) == 64
+    assert (a["embedding"].map(len) == 32).all()
+    for x, y in zip(a["embedding"], b["embedding"]):
+        assert list(x) == list(y)  # stub decode is deterministic across runs
+
+
+def test_resize_is_metadata_only(spark, tmp_path):
+    # pruning applies at the table scan: on a parquet-backed media table the
+    # payload bytes must never be read for a metadata-only pass
+    path = str(tmp_path / "media")
+    synth_media_df(spark, 40).write.parquet(path)
+    m = spark.read.parquet(path)
+    out = plan_resize(m, max_side=128)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_schema and "payload" not in scan_schema[0]
+    pdf = out.toPandas()
+    assert (pdf[["out_width", "out_height"]].max(axis=1) <= 128).all()
+    assert (pdf["scale"] <= 1.0).all()
+
+
+def test_frame_sampling_bounded_by_duration(spark):
+    m = synth_media_df(spark, 40)
+    frames = sample_frames(m, every_ms=2000).toPandas()
+    assert len(frames) > 0
+    metas = {r.media_ref: r.meta for r in m.filter(F.col("mime") == "video/mp4").collect()}
+    for ref, g in frames.groupby("media_ref"):
+        assert g.ts_ms.max() < metas[ref]["duration_ms"]
+        assert list(g.sort_values("frame_idx").frame_idx) == list(range(len(g)))
+
+
+def test_media_features_feed_ann(spark):
+    m = synth_media_df(spark, 100)
+    feats = extract_features(m).select(
+        F.monotonically_increasing_id().alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qvec = [float(x) for x in feats.first().embedding]
+    top = X.ann_bruteforce(feats, qvec, k=3).toPandas()
+    assert len(top) == 3
+    assert abs(top.iloc[0].cosine - 1.0) < 1e-6
