@@ -74,7 +74,10 @@ def run_extract_once(cores: int, sf_dir: str) -> dict:
     return res
 
 
-def main_bench() -> None:
+def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
+    """One headline query in a fresh session (isolation: a 100k-doc
+    extraction bloats the JVM heap enough to slow every later job ~3x via GC
+    pressure — measured; cluster jobs don't share a hot driver either)."""
     from pyspark.sql import functions as F
 
     from qs_spark import search as S
@@ -84,38 +87,67 @@ def main_bench() -> None:
     from qs_spark.session import get_spark
     from qs_spark.store import build_store
 
-    spark = get_spark("bench", cores=CPUS)
+    spark = get_spark(f"bench_{name}", cores=cores)
+    out: dict = {"query": name}
+    if name == "extract":
+        n_docs = _n_docs(spark, sf_dir) * DOCS_MULT
+        input_df = corpus_parquet(spark, n_docs)
+        extract_spans(corpus_df(spark, 512)).count()  # warmup
+        t0 = time.time()
+        store = build_store(extract_spans(input_df, repartition_input=False))
+        store.write.mode("overwrite").parquet("/tmp/qs_bench_store")
+        out["sec"] = round(time.time() - t0, 3)
+        out["n_docs"] = n_docs
+        out["docs_per_sec"] = round(n_docs / out["sec"], 1)
+    elif name == "search":
+        store = spark.read.parquet("/tmp/qs_bench_store")
+        S.search_rank(store, "batch").limit(1).collect()  # warmup
+        t0 = time.time()
+        S.search_rank(store, "spark join window").collect()
+        out["sec"] = round(time.time() - t0, 3)
+    elif name == "dedup_lsh":
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        X.lsh_candidate_pairs(docs.limit(64)).count()  # warmup
+        t0 = time.time()
+        X.lsh_candidate_pairs(docs).count()
+        out["sec"] = round(time.time() - t0, 3)
+    elif name == "ann_topk":
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(x) for x in emb.first().embedding]
+        emb_d = emb.withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        X.ann_bruteforce(emb_d, qvec, k=10).collect()  # warmup
+        t0 = time.time()
+        X.ann_bruteforce(emb_d, qvec, k=10).collect()
+        out["sec"] = round(time.time() - t0, 3)
+    else:
+        raise SystemExit(f"unknown query {name}")
+    spark.stop()
+    return out
+
+
+HEADLINE = ("extract", "search", "dedup_lsh", "ann_topk")
+
+
+def main_bench() -> None:
     queries: dict[str, float] = {}
     extras: dict[str, object] = {}
-
-    n_docs = _n_docs(spark, SF_DIR) * DOCS_MULT
-    input_df = corpus_parquet(spark, n_docs)
-    extract_spans(corpus_df(spark, 512)).count()  # warmup
-
-    t0 = time.time()
-    spans = extract_spans(input_df)
-    store = build_store(spans)
-    store.write.mode("overwrite").parquet("/tmp/qs_bench_store")
-    queries["extract"] = round(time.time() - t0, 3)
-    extras["docs_per_sec"] = round(n_docs / queries["extract"], 1)
-    extras["n_docs"] = n_docs
-
-    store = spark.read.parquet("/tmp/qs_bench_store")
-    t0 = time.time()
-    S.search_rank(store, "spark join window").collect()
-    queries["search"] = round(time.time() - t0, 3)
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.time()
-    X.lsh_candidate_pairs(docs).count()
-    queries["dedup_lsh"] = round(time.time() - t0, 3)
-
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    qvec = [float(x) for x in emb.first().embedding]
-    emb_d = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
-    t0 = time.time()
-    X.ann_bruteforce(emb_d, qvec, k=10).collect()
-    queries["ann_topk"] = round(time.time() - t0, 3)
+    for name in HEADLINE:
+        r = subprocess.run(
+            [sys.executable, __file__, "--query-once", name, SF_DIR, str(CPUS)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise SystemExit(f"bench query {name} failed: {r.stderr[-2000:]}")
+        res = json.loads(lines[-1])
+        queries[name] = res["sec"]
+        if name == "extract":
+            extras["docs_per_sec"] = res["docs_per_sec"]
+            extras["n_docs"] = res["n_docs"]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -126,7 +158,6 @@ def main_bench() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extras,
     }
-    spark.stop()
     print(json.dumps(out))
 
 
@@ -218,6 +249,8 @@ order); determinism asserted across partitionings).
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--extract-once":
         print(json.dumps(run_extract_once(int(sys.argv[2]), sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--query-once":
+        print(json.dumps(run_query_once(sys.argv[2], sys.argv[3], int(sys.argv[4]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         main_scaling()
     else:
