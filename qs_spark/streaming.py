@@ -95,6 +95,54 @@ def dedup_on_read(spans: DataFrame) -> DataFrame:
     )
 
 
+_FIRST_SEEN_OUT = "doc_id string, fingerprint bigint, bucket int"
+_FIRST_SEEN_STATE = "seen array<bigint>"
+
+
+def stateful_first_seen(docs_stream, n_buckets: int = 16):
+    """Custom stateful streaming operator (applyInPandasWithState): streaming
+    exact dedup — emit a doc only the FIRST time its content fingerprint is
+    seen, with the seen-set held in partitioned operator state that survives
+    restarts via the streaming checkpoint.
+
+    The reference's analog is the version-exists skip applied per upload
+    event (file_upload.py:85-95) — here as a continuous operator.  Keying by
+    fingerprint bucket spreads state across partitions; at 100 TB you'd swap
+    the exact seen-array for a bloom filter per bucket (same state shape,
+    bounded size).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = docs_stream.select(
+        "doc_id",
+        F.xxhash64(F.concat_ws("\x1f", F.transform("spans", lambda s: s["text"]))).alias(
+            "fingerprint"
+        ),
+    ).withColumn("bucket", F.pmod(F.col("fingerprint"), F.lit(n_buckets)).cast("int"))
+
+    def dedup_fn(key, pdf_iter, state):
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdf_iter:
+            for did, fp in zip(pdf["doc_id"], pdf["fingerprint"]):
+                fp = int(fp)
+                if fp not in seen:
+                    seen.add(fp)
+                    out.append((did, fp, key[0]))
+        state.update((list(seen),))
+        import pandas as pd
+
+        yield pd.DataFrame(out, columns=["doc_id", "fingerprint", "bucket"])
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=_FIRST_SEEN_OUT,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame, window: str = "1 hour", watermark: str | None = None
 ) -> DataFrame:

@@ -47,6 +47,80 @@ def test_dedup_on_read_kills_replays(spark, tmp_path):
     assert deduped.count() * 2 == raw.count()
 
 
+def test_stateful_first_seen_across_restarts(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates suppressed within a run AND
+    across a restart (state restored from the streaming checkpoint)."""
+    import pyspark.sql.types as T
+
+    from qs_spark.streaming import stateful_first_seen
+
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("text", T.StringType()),
+                            T.StructField("media_ref", T.StringType()),
+                            T.StructField("offset", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def doc(did, text):
+        return (did, [{"kind": "md", "text": text, "media_ref": "", "offset": 0}])
+
+    # batch 1: two unique + one in-batch duplicate content
+    spark.createDataFrame([doc("a", "t1"), doc("b", "t2"), doc("c", "t1")], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once(run_tag):
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                batch_df.withColumn("run", F.lit(run_tag)).write.mode("append").parquet(out_dir)
+
+        from pyspark.sql import functions as F
+
+        q = (
+            stateful_first_seen(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.doc_id
+            for r in spark.read.parquet(out_dir).filter(F.col("run") == run_tag).collect()
+        }
+
+    got1 = run_once("fs1")
+    # exactly one of the t1-content docs wins (intra-batch arrival order is
+    # not guaranteed), plus 'b'
+    assert "b" in got1 and len(got1 & {"a", "c"}) == 1 and len(got1) == 2
+
+    # batch 2 after "restart": one repeat of t2, one new
+    spark.createDataFrame([doc("d", "t2"), doc("e", "t3")], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    got2 = run_once("fs2")
+    assert got2 == {"e"}  # 'd' suppressed by state restored from checkpoint
+
+
 def test_windowed_event_counts_batch(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = windowed_event_counts(ev, "1 hour").toPandas()
