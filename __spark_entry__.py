@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q14_anti_join"] = q14
 
     def q15(spark, sf):
+        # timestamp formatting is session-TZ-sensitive; pin UTC so the
+        # driver's session (whatever its default) matches DuckDB's naive read
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         o = spark.read.parquet(f"{sf}/orders.parquet")
         first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_order"))
         return (
@@ -306,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q17_pricing_summary"] = q17
 
     def q18(spark, sf):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")  # see q15
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
             ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -77,6 +77,39 @@ def build_postings(store: DataFrame) -> DataFrame:
     )
 
 
+POSTINGS_BUCKETS = 64
+
+
+def write_postings(store: DataFrame, path: str, n_buckets: int = POSTINGS_BUCKETS) -> None:
+    """Materialize the postings table partitioned by term-hash bucket — the
+    parquet stand-in for an Iceberg `bucket(term)` layout.  Term lookups then
+    prune to the query terms' buckets: at 100 TB a 3-term query touches
+    3/n_buckets of the index instead of scanning it (the reference's
+    fast_inverted_index lookup, as table layout)."""
+    (
+        build_postings(store)
+        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+
+
+def lookup_postings(spark, path: str, terms: list[str], n_buckets: int = POSTINGS_BUCKETS) -> DataFrame:
+    """Partition-pruned posting lookup for a term set."""
+    buckets = [
+        r.b
+        for r in spark.createDataFrame([(t,) for t in terms], ["term"])
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    ]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+
+
 def _match_rows_or(store: DataFrame, terms: list[str]) -> DataFrame:
     """OR retrieval (or_query, inverted_index_retiver.py:66-74): rows whose
     token set intersects the query terms.  Expressed as an array-overlap scan

@@ -110,6 +110,19 @@ def test_preview_limit_and_boost(spark):
         assert (with_prev["relavence_score"] >= 90.0 - 1e-9).all()
 
 
+def test_postings_table_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "postings")
+    st = _store(spark)
+    S.write_postings(st, path, n_buckets=16)
+    hits = S.lookup_postings(spark, path, ["spark", "vector"], n_buckets=16)
+    # pruned lookup == full-scan lookup
+    full = spark.read.parquet(path).filter(F.col("term").isin(["spark", "vector"]))
+    assert hits.count() == full.count() > 0
+    # plan must show a partition filter on term_bucket (directory pruning)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_bm25l_phrase(spark):
     st = _store(spark)
     res = S.bm25l_phrase(st, ["data", "table"]).toPandas()
