@@ -70,19 +70,29 @@ _KIND_FMT = {
 
 def with_fmt(df: DataFrame) -> DataFrame:
     mapping = F.create_map(*[F.lit(x) for kv in _KIND_FMT.items() for x in kv])
-    return df.withColumn("fmt", mapping[F.col("spans")[0]["kind"]])
+    # F.get is null-safe on empty arrays (spans[0] throws under ANSI mode);
+    # coalesce: null spans / unknown first kind must not null out the fmt —
+    # a null fmt would fail BOTH branch filters and silently drop the doc
+    return df.withColumn(
+        "fmt", F.coalesce(mapping[F.get("spans", 0)["kind"]], F.lit("md"))
+    )
 
 
 def _spans_to_records(spans) -> list[dict]:
-    # Arrow hands array<struct> to pandas as a numpy array of dicts
+    # Arrow hands array<struct> to pandas as a numpy array of dicts; real
+    # tables carry nulls (null spans array, null struct, null fields) — treat
+    # them as absent/empty rather than crashing a 100 TB job on one row
+    if spans is None:
+        return []
     return [
         {
-            "kind": s["kind"],
-            "text": s["text"],
-            "media_ref": s["media_ref"],
-            "offset": s["offset"],
+            "kind": s.get("kind") or "",
+            "text": s.get("text") or "",
+            "media_ref": s.get("media_ref") or "",
+            "offset": s.get("offset") if s.get("offset") is not None else 0,
         }
         for s in spans
+        if s is not None
     ]
 
 
