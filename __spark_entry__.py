@@ -579,7 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wh = tempfile.mkdtemp(prefix="qs_ckpt_q_")
         cat = ParquetCatalog(wh)
         docs = corpus_parquet(spark, 200)
-        run_extract_checkpointed(spark, docs, cat, run_id="driver", n_buckets=8, buckets_per_wave=4)
+        run_extract_checkpointed(spark, docs, cat, run_id="driver", n_buckets=8, buckets_per_wave=8)
         return cat.read(spark, CKPT_TABLE).select(
             "bucket", "doc_count", "span_count", "status", "run_id"
         )

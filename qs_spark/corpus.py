@@ -36,6 +36,10 @@ _FMT_THRESHOLDS = [
 MEGA_EVERY = 500  # 2 per 1000
 MEGA_PAGES = 400
 
+# bump whenever generator output changes — keys the corpus_parquet cache so
+# stale materializations can never be served across code versions
+CORPUS_VERSION = 1
+
 
 def doc_id_of(idx: int) -> str:
     return f"doc{idx:08d}"
@@ -271,7 +275,7 @@ def corpus_parquet(spark, n_docs: int, path: str | None = None, n_buckets: int |
     # ~128-384 docs per bucket file: enough task granularity for fine waves,
     # big enough to amortize per-file open cost
     n_buckets = n_buckets or max(8, min(512, n_docs // 256))
-    path = path or f"/tmp/qs_corpus_{n_docs}.parquet"
+    path = path or f"/tmp/qs_corpus_v{CORPUS_VERSION}_{n_docs}.parquet"
     if not os.path.isdir(path):
         (
             corpus_df(spark, n_docs)

@@ -69,6 +69,21 @@ def test_mega_doc_split_stitch(spark):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_mega_parts_distribute_across_partitions(spark):
+    # skew-split parallelism: the 25 parts of a 400-page mega doc hash to
+    # MANY distinct shuffle partitions — one straggler task can never own the
+    # whole doc
+    from pyspark.sql import functions as F
+
+    n = (
+        spark.range(25)
+        .select(F.pmod(F.xxhash64(F.lit("doc00000175"), "id"), F.lit(64)).alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n >= 15
+
+
 def test_determinism_across_partitionings(spark):
     # §5-5: identical output under different parallelism (8 vs 64 partitions)
     df = corpus_df(spark, 120)
