@@ -569,6 +569,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q46_embedding_near_dup"] = q46
 
+    def q50(spark, sf):
+        return X.simhash_near_dup_pairs(_docs(spark, sf), max_hamming=4)
+
+    q["q50_simhash_near_dup"] = q50
+
+    def x51(spark, sf):
+        n = min(_docs(spark, sf).count(), 1500)
+        store = build_store(extract_spans(corpus_parquet(spark, n)))
+        return search_with_previews(store, "data table", exact_match=True)
+
+    q["x51_search_exact_previews"] = x51
+
     def x47(spark, sf):
         # S13/T2/T3: checkpoint lineage rows after a checkpointed run
         import tempfile
@@ -970,6 +982,20 @@ def oracle_sql() -> dict[str, str]:
                     sqrt(list_sum(list_transform(b.ev, x -> x * x)))), 6) AS cosine
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.35
+    """
+
+    o["q50_simhash_near_dup"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_h60_sql('tok')} AS h FROM (
+            SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+            FROM documents)),
+        per AS (SELECT doc_id, {bit_aggs} FROM toks GROUP BY doc_id),
+        sh AS (SELECT doc_id, cast({bit_sum} AS bigint) AS simhash FROM per),
+        j AS (SELECT sh.doc_id, sh.simhash, d.source FROM sh JOIN documents d USING (doc_id))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+        FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
     """
 
     o["q40_registry_stats"] = """

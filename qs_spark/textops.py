@@ -139,6 +139,28 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return per_doc.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, group_col: str = "source"
+) -> DataFrame:
+    """SimHash near-dup: pairs whose fingerprints differ in <= max_hamming
+    bits, blocked by group_col (at scale: block by fingerprint bands, same
+    pigeonhole trick as MinHash-LSH — any pair within hamming k shares at
+    least one of k+1 bit-bands exactly)."""
+    s = simhash(docs).join(docs.select("doc_id", group_col), "doc_id")
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, group_col)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, group_col: str = "source") -> DataFrame:
     """n-gram Jaccard similarity for doc pairs within the same group
     (bounded — the group is the blocking key; at scale use LSH buckets)."""
