@@ -66,16 +66,23 @@ def _walk_md(raw_spans: list[dict]) -> list[dict]:
 
 
 def extract_doc(
-    raw_spans: list[dict], fmt: str | None = None, chunk_size: int = CHUNK_SIZE
+    raw_spans: list[dict],
+    fmt: str | None = None,
+    chunk_size: int = CHUNK_SIZE,
+    plan: str | None = None,
 ) -> list[dict]:
     """One doc's raw spans -> ordered extracted spans with `order` assigned.
 
     Also the golden oracle: tests run this single-threaded over the corpus and
     compare with the distributed pipeline's output.
+
+    plan: None follows the reference dispatch (pdf/docx get 'basic +', the
+    OCR path; everything else is plan-insensitive — extractor.py:80,119);
+    pass 'basic' to force the text-layer-only PDF walk.
     """
     fmt = fmt or fmt_of_spans(raw_spans)
     if fmt in ("pdf", "docx"):
-        units = walk_pages(raw_spans)
+        units = walk_pages(raw_spans, plan=plan or "basic +")
     elif fmt == "xlsx":
         units = walk_sheets(raw_spans, excel_mode=True, chunk_size=chunk_size)
     elif fmt == "csv":

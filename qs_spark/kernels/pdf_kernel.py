@@ -35,8 +35,17 @@ _TABLE_KINDS = {"pdf_table", "docx_table"}
 _MEDIA_KINDS = {"pdf_figure", "ocr_region", "docx_image"}
 
 
-def walk_pages(raw_spans: list[dict]) -> list[dict]:
-    """Ordered page walk -> list of {kind, text, media_ref} (pre-`order`)."""
+def walk_pages(raw_spans: list[dict], plan: str = "basic +") -> list[dict]:
+    """Ordered page walk -> list of {kind, text, media_ref} (pre-`order`).
+
+    plan selects the extraction path like the reference's Job.plan
+    (consumer extractor.py:80,119; wheel loader.py:40-46):
+      'basic +' (the dispatch default for pdf/docx) — OCR-aware walker
+      'basic'   — SimpleDirectoryReader text layer only: table pages yield
+                  their text layer verbatim (kind 'pdf_text'), figure pages
+                  have no text layer and drop
+    """
+    ocr = plan != "basic"
     out: list[dict] = []
     for sp in raw_spans:
         k = sp["kind"]
@@ -45,15 +54,22 @@ def walk_pages(raw_spans: list[dict]) -> list[dict]:
             if page_text:
                 out.append({"kind": "pdf_text", "text": page_text, "media_ref": ""})
         elif k in _TABLE_KINDS:
-            page_text = stitch_text_lines(sp["text"] or "")
-            if page_text:
-                out.append({"kind": "ocr", "text": page_text, "media_ref": ""})
+            if ocr:
+                page_text = stitch_text_lines(sp["text"] or "")
+                if page_text:
+                    out.append({"kind": "ocr", "text": page_text, "media_ref": ""})
+            else:
+                page_text = sp["text"] or ""
+                if page_text:
+                    out.append({"kind": "pdf_text", "text": page_text, "media_ref": ""})
         elif k in _MEDIA_KINDS:
-            page_text = stitch_page(sp["media_ref"] or "")
-            if page_text:
-                out.append(
-                    {"kind": "ocr", "text": page_text, "media_ref": sp["media_ref"] or ""}
-                )
+            if ocr:
+                page_text = stitch_page(sp["media_ref"] or "")
+                if page_text:
+                    out.append(
+                        {"kind": "ocr", "text": page_text, "media_ref": sp["media_ref"] or ""}
+                    )
+            # 'basic': figures have no text layer -> page dropped
         # unknown page kinds: skipped (reference asserts on extension long
         # before the walker; per-page kinds are closed by the corpus schema)
     return out

@@ -162,6 +162,21 @@ def test_ocr_unreadable_page_dropped():
     assert [u["text"] for u in units] == ["after"]
 
 
+def test_plan_basic_vs_basic_plus():
+    # ref extractor.py:80,119: pdf/docx run plan 'basic +' (OCR walker);
+    # plan 'basic' = text layer only — tables verbatim, figures dropped
+    spans = [
+        _sp("pdf_text", "text page"),
+        _sp("pdf_table", "t1 a\nt2 b"),
+        _sp("pdf_figure", "", "media://plan/1"),
+    ]
+    plus = extract_doc(spans, "pdf", plan="basic +")
+    basic = extract_doc(spans, "pdf", plan="basic")
+    assert [u["kind"] for u in plus][:2] == ["pdf_text", "ocr"]
+    assert [u["kind"] for u in basic] == ["pdf_text", "pdf_text"]  # figure dropped
+    assert basic[1]["text"] == "t1 a\nt2 b"  # table text layer verbatim
+
+
 # ---- docx -> pdf-walker mapping (ref doc easyocr_extractor: convert then walk) ----
 
 
