@@ -581,6 +581,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x51_search_exact_previews"] = x51
 
+    def q52(spark, sf):
+        # rollup aggregate (source x lang hierarchy with subtotals)
+        return (
+            _docs(spark, sf)
+            .rollup("source", "lang")
+            .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        )
+
+    q["q52_rollup_source_lang"] = q52
+
+    def q53(spark, sf):
+        # distinct-aggregate: vocabulary size per source
+        d = _docs(spark, sf)
+        return (
+            d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+            .groupBy("source")
+            .agg(F.countDistinct("term").alias("vocab_size"))
+        )
+
+    q["q53_vocab_per_source"] = q53
+
+    def q54(spark, sf):
+        # sessionization: per-user sessions split on >30 min gaps (lag +
+        # running sum of boundaries)
+        from pyspark.sql import Window
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts")
+        # ts is TIMESTAMP_NTZ (parquet naive); NTZ can't cast to long directly
+        # — route via timestamp with the UTC-pinned session so epoch matches
+        # DuckDB's epoch(naive)
+        ep = F.col("ts").cast("timestamp").cast("long")
+        gap = ep - F.lag(ep).over(w)
+        marked = ev.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        sess = marked.withColumn(
+            "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+
+    q["q54_sessionize_events"] = q54
+
+    def q55(spark, sf):
+        # percentiles (exact, linear interpolation) per source
+        return (
+            _docs(spark, sf)
+            .groupBy("source")
+            .agg(
+                F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+                F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
+            )
+        )
+
+    q["q55_percentiles"] = q55
+
+    def x56(spark, sf):
+        # skew-safe salted join: lineitem (big) x orders subset (small)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_totalprice") > 100000
+        ).select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+        return X.salted_join(li, o, "l_orderkey").groupBy("l_orderkey").agg(
+            F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s")
+        )
+
+    q["q56_salted_join"] = x56
+
     def x47(spark, sf):
         # S13/T2/T3: checkpoint lineage rows after a checkpointed run
         import tempfile
@@ -899,6 +971,45 @@ def oracle_sql() -> dict[str, str]:
                           WHERE r.doc_id = d.doc_id
                             AND r.version_id = cast(d.doc_id % 7 AS int))
     """
+
+    o["q52_rollup_source_lang"] = (
+        "SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars"
+        " FROM documents GROUP BY ROLLUP(source, lang)"
+    )
+
+    o["q53_vocab_per_source"] = (
+        "SELECT source, count(DISTINCT term) AS vocab_size FROM ("
+        " SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents)"
+        " GROUP BY source"
+    )
+
+    o["q54_sessionize_events"] = """
+        WITH g AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                        OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT user_id, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM s GROUP BY user_id, session_id
+    """
+
+    o["q55_percentiles"] = (
+        "SELECT source, round(quantile_cont(n_chars, 0.5), 6) AS p50,"
+        " round(quantile_cont(n_chars, 0.95), 6) AS p95 FROM documents GROUP BY source"
+    )
+
+    o["q56_salted_join"] = (
+        "SELECT l_orderkey, count(*) AS n, round(sum(l_extendedprice), 2) AS s"
+        " FROM lineitem JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000) o"
+        " ON l_orderkey = o_orderkey GROUP BY l_orderkey"
+    )
 
     o["x30_extract_md_passthrough"] = (
         "SELECT 'doc' || doc_id AS doc_id, 0 AS span_order, 'raw' AS kind,"

@@ -186,6 +186,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, group_col: str = "source") 
     )
 
 
+def salted_join(big: DataFrame, small: DataFrame, key: str, salt: int = 8) -> DataFrame:
+    """Skew-safe equi-join: explode the SMALL side `salt` ways and salt the
+    big side's key with a random-free deterministic residue, so one hot key
+    spreads over `salt` reducers.  (AQE's skew-join handles sort-merge skew
+    at runtime; explicit salting is the belt-and-braces for deliberate
+    hot-key joins and for broadcast-ineligible small sides.)"""
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int")
+    )
+    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
+
+
 # ---------- similarity search over embeddings ----------
 
 
