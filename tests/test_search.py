@@ -75,6 +75,17 @@ def test_search_rank_matches_reference_formula(spark):
     assert len(res) <= S.MAX_DOC_LIMIT
 
 
+def test_topk_cap_at_200_files(spark):
+    # FIXTURES.md F-4: a query matching >200 files truncates to MAX_DOC_LIMIT
+    from qs_spark.corpus import corpus_parquet
+    from qs_spark.extract import extract_spans
+    from qs_spark.store import build_store
+
+    store = build_store(extract_spans(corpus_parquet(spark, 600)))
+    res = S.search_rank(store, "table").toPandas()
+    assert len(res) == S.MAX_DOC_LIMIT  # 600 files, common term -> capped
+
+
 def test_exact_match_containment(spark):
     st = _store(spark)
     res = S.search_rank(st, "spark join", exact_match=True)
