@@ -80,15 +80,30 @@ def run_extract_checkpointed(
         # idempotent write: replaces exactly the wave's bucket partitions
         cat.overwrite_partitions(spans, SPANS_TABLE, ["bucket"])
         t1 = time.time()
-        metrics = (
-            cat.read(spark, SPANS_TABLE)
-            .filter(F.col("bucket").isin(wave))
-            .groupBy("bucket")
-            .agg(
-                F.countDistinct("doc_id").alias("doc_count"),
-                F.count("*").alias("span_count"),
-                F.sum(F.length("text")).alias("text_bytes"),
+        # one lineage row per bucket of the wave UNCONDITIONALLY — a bucket
+        # whose docs all gate out produces zero spans but must still commit,
+        # or every future resume re-processes it forever
+        wave_df = spark.createDataFrame([(b,) for b in wave], "bucket int")
+        if cat.exists(SPANS_TABLE):
+            span_stats = (
+                cat.read(spark, SPANS_TABLE)
+                .filter(F.col("bucket").isin(wave))
+                .groupBy("bucket")
+                .agg(
+                    F.countDistinct("doc_id").alias("doc_count"),
+                    F.count("*").alias("span_count"),
+                    F.sum(F.length("text")).alias("text_bytes"),
+                )
             )
+            wave_df = wave_df.join(span_stats, "bucket", "left")
+        else:  # an all-empty first wave never created the table
+            wave_df = (
+                wave_df.withColumn("doc_count", F.lit(None).cast("long"))
+                .withColumn("span_count", F.lit(None).cast("long"))
+                .withColumn("text_bytes", F.lit(None).cast("long"))
+            )
+        metrics = (
+            wave_df.fillna(0, ["doc_count", "span_count", "text_bytes"])
             .withColumn("run_id", F.lit(run_id))
             .withColumn("t_start", F.lit(t0))
             .withColumn("t_end", F.lit(t1))
@@ -96,4 +111,8 @@ def run_extract_checkpointed(
         )
         cat.merge_by_key(metrics, CKPT_TABLE, ["bucket"])
 
+    if not cat.exists(SPANS_TABLE):
+        return spark.createDataFrame(
+            [], "doc_id string, order int, kind string, text string, media_ref string, fmt string, bucket int"
+        )
     return cat.read(spark, SPANS_TABLE)

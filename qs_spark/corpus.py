@@ -276,7 +276,9 @@ def corpus_parquet(spark, n_docs: int, path: str | None = None, n_buckets: int |
     # big enough to amortize per-file open cost
     n_buckets = n_buckets or max(8, min(512, n_docs // 256))
     path = path or f"/tmp/qs_corpus_v{CORPUS_VERSION}_{n_docs}.parquet"
-    if not os.path.isdir(path):
+    # a crashed write leaves a partial dir — only a _SUCCESS-marked
+    # materialization may be served from cache
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         (
             corpus_df(spark, n_docs)
             .repartition(n_buckets, F.xxhash64("doc_id"))

@@ -25,7 +25,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from qs_spark.kernels.dispatch import SPLITTABLE_FMTS, extract_doc
+from qs_spark.kernels.dispatch import SPLITTABLE_FMTS, safe_extract_doc
 from qs_spark.kernels.sheet_kernel import CHUNK_SIZE
 
 SPAN_SCHEMA = T.StructType(
@@ -51,31 +51,26 @@ _PART_SCHEMA = T.StructType(
     ]
 )
 
-# raw first-span kind -> fmt, as a JVM-side map expression (keep format
-# derivation out of Python entirely)
-_KIND_FMT = {
-    "html": "html",
-    "pdf_text": "pdf",
-    "pdf_table": "pdf",
-    "pdf_figure": "pdf",
-    "docx_para": "docx",
-    "docx_table": "docx",
-    "ocr_region": "docx",
-    "sheet_rows": "xlsx",
-    "csv_rows": "csv",
-    "txt": "txt",
-    "md": "md",
-}
-
-
 def with_fmt(df: DataFrame) -> DataFrame:
-    mapping = F.create_map(*[F.lit(x) for kv in _KIND_FMT.items() for x in kv])
-    # F.get is null-safe on empty arrays (spans[0] throws under ANSI mode);
-    # coalesce: null spans / unknown first kind must not null out the fmt —
-    # a null fmt would fail BOTH branch filters and silently drop the doc
-    return df.withColumn(
-        "fmt", F.coalesce(mapping[F.get("spans", 0)["kind"]], F.lit("md"))
+    """JVM-side format derivation, semantically IDENTICAL to the oracle's
+    fmt_of_spans: the first span whose kind is KNOWN decides the format
+    (unknown/null kinds are skipped, not defaulted), falling back to 'md'.
+    F.get/filter are null-safe on empty/null arrays (spans[0] would throw
+    under ANSI mode), and the coalesce keeps fmt non-null so neither branch
+    filter can silently drop a doc.  The kind->fmt map is imported from
+    kernels.dispatch so pipeline and oracle can never drift."""
+    from qs_spark.kernels.dispatch import _FMT_BY_KIND
+
+    mapping = F.create_map(*[F.lit(x) for kv in _FMT_BY_KIND.items() for x in kv])
+    # null spans -> transform/filter/get propagate null -> coalesce to 'md'
+    first_known = F.get(
+        F.filter(
+            F.transform("spans", lambda s: mapping[s["kind"]]),
+            lambda x: x.isNotNull(),
+        ),
+        0,
     )
+    return df.withColumn("fmt", F.coalesce(first_known, F.lit("md")))
 
 
 def _spans_to_records(spans) -> list[dict]:
@@ -101,7 +96,7 @@ def _make_whole_doc_fn(chunk_size: int):
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "order", "kind", "text", "media_ref", "fmt")}
             for did, spans, fmt in zip(pdf["doc_id"], pdf["spans"], pdf["fmt"]):
-                for u in extract_doc(_spans_to_records(spans), fmt, chunk_size):
+                for u in safe_extract_doc(_spans_to_records(spans), fmt, chunk_size):
                     out["doc_id"].append(did)
                     out["order"].append(u["order"])
                     out["kind"].append(u["kind"])
@@ -128,7 +123,7 @@ def _make_part_fn(chunk_size: int):
                 # page-local formats only reach this path, so extracting a
                 # slice is semantics-preserving; order is LOCAL here and
                 # renumbered at stitch
-                for u in extract_doc(_spans_to_records(spans), fmt, chunk_size):
+                for u in safe_extract_doc(_spans_to_records(spans), fmt, chunk_size):
                     out["doc_id"].append(did)
                     out["part_k"].append(int(part_k))
                     out["local_order"].append(u["order"])
@@ -218,6 +213,6 @@ def oracle_extract(docs: list[tuple[str, list[dict]]], chunk_size: int = CHUNK_S
     """Single-threaded golden oracle over (doc_id, raw_spans) pairs."""
     rows = []
     for did, spans in docs:
-        for u in extract_doc(spans, None, chunk_size):
+        for u in safe_extract_doc(spans, None, chunk_size):
             rows.append((did, u["order"], u["kind"], u["text"], u["media_ref"]))
     return pd.DataFrame(rows, columns=["doc_id", "order", "kind", "text", "media_ref"])

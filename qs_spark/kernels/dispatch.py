@@ -98,3 +98,30 @@ def extract_doc(
     for i, u in enumerate(units):
         u["order"] = i
     return units
+
+
+def safe_extract_doc(
+    raw_spans: list[dict],
+    fmt: str | None = None,
+    chunk_size: int = CHUNK_SIZE,
+    plan: str | None = None,
+) -> list[dict]:
+    """extract_doc with per-document error isolation: a malformed file yields
+    a single diagnostic span (kind='error', order=-1) instead of killing the
+    task/job.  Mirrors the reference's per-file failure handling — the
+    consumer catches extraction errors and marks just that document Failed
+    (consumer.py:322-344, the Processing->Failed flow) while other files
+    proceed.  Used by BOTH the distributed kernels and the oracle, so the
+    span-equality contract covers failing docs too.
+    """
+    try:
+        return extract_doc(raw_spans, fmt, chunk_size, plan)
+    except Exception as e:  # noqa: BLE001 — any kernel error = this doc Failed
+        return [
+            {
+                "kind": "error",
+                "text": f"{type(e).__name__}: {e}"[:500],
+                "media_ref": "",
+                "order": -1,
+            }
+        ]

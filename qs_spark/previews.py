@@ -81,29 +81,16 @@ def search_with_previews(store: DataFrame, query: str, exact_match: bool = False
 
     Exact mode additionally requires a non-empty preview (file_searcher.py:346).
     """
-    query__, _, terms = normalize_query_cached(query)
-    if not terms and not exact_match:
+    query__ = query.strip().lower()
+    rows = S.match_query_rows(store, query, exact_match)
+    if rows is None:
         return store.sparkSession.createDataFrame([], _RESULT_SCHEMA)
-    rows = (
-        S._match_rows_and(store, terms) if exact_match else S._match_rows_or(store, terms)
-    )
-    if exact_match:
-        rows = rows.filter(F.contains(F.col("text"), F.lit(query__)))
 
-    # Score + threshold JVM-side FIRST (F10, P7): the pandas preview kernel
-    # then only runs over rows of the (usually few) surviving files — the
-    # reference also previews only above-threshold files
-    # (file_searcher.py:327-341).  The survivor set is per-file (small), so
-    # the global window + broadcast join are cheap at any store size.
-    from pyspark.sql import Window
-
-    per_file = rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
-    survivors = (
-        per_file.withColumn("n_files", F.count("*").over(Window.partitionBy()))
-        .withColumn("avg_score", S.compute_score_col(F.col("match_count"), F.col("n_files")))
-        .filter(F.col("avg_score") > S.CUTOFF)
-        .select("document_name", "match_count", "avg_score")
-    )
+    # Score + threshold JVM-side FIRST (F10, P7; shared with search_rank via
+    # score_per_file): the pandas preview kernel then only runs over rows of
+    # the (usually few) surviving files — the reference also previews only
+    # above-threshold files (file_searcher.py:327-341).
+    survivors = S.score_per_file(rows)
     surviving_rows = rows.select("document_name", "document_id", "page_no", "text").join(
         F.broadcast(survivors), "document_name"
     )
@@ -143,10 +130,6 @@ def search_with_previews(store: DataFrame, query: str, exact_match: bool = False
     )
 
 
-def normalize_query_cached(query: str):
-    return S.normalize_query(query)
-
-
 _PAGE_PREVIEW_SCHEMA = T.StructType(
     [
         T.StructField("document_id", T.StringType()),
@@ -167,9 +150,11 @@ def preview_docs(
     sum(size(previews)) is one agg over the result.
 
     Reference: quanta-search-api/core/file_preview.py:146-203 + router
-    api.py:928-994.
+    api.py:928-994.  The preview flow lowercases the query WITHOUT stripping
+    (file_searcher.py:391: ev.query.lower()) and strips the filename tag with
+    the LOWERCASED file name (file_preview.py:168: file_name.lower()).
     """
-    query__ = query.strip().lower()
+    query__ = query.lower()
     rows = store.filter(
         (F.col("state") == state) & F.col("document_id").isin(doc_ids)
     ).select("document_id", "document_name", "page_no", "text")
@@ -177,7 +162,7 @@ def preview_docs(
     def per_page(pdf: pd.DataFrame) -> pd.DataFrame:
         out = {k: [] for k in ("document_id", "document_name", "page_no", "previews")}
         for _, r in pdf.iterrows():
-            text = r["text"].replace(f"file name : {r['document_name']}", "")  # F8
+            text = r["text"].replace(f"file name : {r['document_name'].lower()}", "")  # F8
             previews = process_single_text(text, query__, S.PREVIEW_LENGTH, -1)
             if previews:
                 out["document_id"].append(r["document_id"])

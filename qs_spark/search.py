@@ -172,33 +172,52 @@ def search_rank(store: DataFrame, query: str, exact_match: bool = False) -> Data
     Returns (document_name, match_count, relavence_score) — score scaled
     x100 round 3 like the response (file_searcher.py:341).
     """
-    query__, _, terms = normalize_query(query)
-    if not terms and not exact_match:
+    rows = match_query_rows(store, query, exact_match)
+    if rows is None:
         return store.sparkSession.createDataFrame(
             [], "document_name string, match_count long, relavence_score double"
         )
-    rows = _match_rows_and(store, terms) if exact_match else _match_rows_or(store, terms)
-    if exact_match:
-        rows = rows.filter(F.contains(F.col("text"), F.lit(query__)))  # P6
-    per_file = rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
-    # fl_score_len = DISTINCT file count of the result set (file_searcher.py:322),
-    # taken as a global window over the ALREADY-AGGREGATED per-file rows: one
-    # row per matching file, so the single-partition window is tiny and the
-    # store is scanned exactly once (a separate .agg() would re-scan it)
-    w_all = Window.partitionBy()
-    scored = (
-        per_file.withColumn("n_files", F.count("*").over(w_all))
-        .withColumn("relavence_score", compute_score_col(F.col("match_count"), F.col("n_files")))
-        .filter(F.col("relavence_score") > CUTOFF)  # P7
-        .select(
+    per_file = score_per_file(rows)
+    return (
+        per_file.select(
             "document_name",
             "match_count",
-            F.round(F.col("relavence_score") * 100, 3).alias("relavence_score"),
+            F.round(F.col("avg_score") * 100, 3).alias("relavence_score"),
         )
         .orderBy(F.desc("relavence_score"), "document_name")  # O1 (name tiebreak)
         .limit(MAX_DOC_LIMIT)
     )
-    return scored
+
+
+def match_query_rows(store: DataFrame, query: str, exact_match: bool):
+    """Retrieval-mode selection (file_searcher.py:289-295): partial match ORs
+    the stopword-FILTERED terms; exact match ANDs ALL punct-stripped words —
+    the reference passes `query_` (stopwords included) to and_query for
+    search_type='search' — then applies P6 substring containment.  Returns
+    None for the stopword-only-partial short circuit (file_searcher.py:233)."""
+    query__, query_, terms = normalize_query(query)
+    if exact_match:
+        rows = _match_rows_and(store, query_.split())
+        return rows.filter(F.contains(F.col("text"), F.lit(query__)))  # P6
+    if not terms:
+        return None
+    return _match_rows_or(store, terms)
+
+
+def score_per_file(rows: DataFrame) -> DataFrame:
+    """A2 rollup + F10 score + P7 threshold, shared by search_rank and
+    search_with_previews.  fl_score_len = DISTINCT file count of the result
+    set (file_searcher.py:322), taken as a global window over the
+    ALREADY-AGGREGATED per-file rows: one row per matching file, so the
+    single-partition window is tiny and the store is scanned exactly once
+    (a separate .agg() would re-scan it)."""
+    per_file = rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
+    return (
+        per_file.withColumn("n_files", F.count("*").over(Window.partitionBy()))
+        .withColumn("avg_score", compute_score_col(F.col("match_count"), F.col("n_files")))
+        .filter(F.col("avg_score") > CUTOFF)  # P7
+        .select("document_name", "match_count", "avg_score")
+    )
 
 
 def text_search_scored(store: DataFrame, terms: list[str]) -> DataFrame:

@@ -27,10 +27,24 @@ def file_name_col(doc_id="doc_id", fmt="fmt"):
     return F.concat(F.col(doc_id), ext_map[F.col(fmt)])
 
 
+def failed_docs(spans: DataFrame) -> DataFrame:
+    """Docs whose extraction failed (safe_extract_doc error spans) — feeds
+    the Processing->Failed status write-back (registry.resolve_status, T2)."""
+    return spans.filter(F.col("kind") == "error").select(
+        "doc_id", F.col("text").alias("error"), F.lit("Failed").alias("outcome")
+    )
+
+
 def build_store(spans: DataFrame, state: str = "Publish", version_id: int = 1) -> DataFrame:
-    """spans (doc_id, order, kind, text, media_ref, fmt) -> store rows."""
+    """spans (doc_id, order, kind, text, media_ref, fmt) -> store rows.
+    Error spans are excluded (the reference stores nothing for a Failed doc);
+    null text coalesces to '' before F1, like the reference's
+    `text if text else \"\"` (consumer utils/util.py:63-64)."""
+    spans = spans.filter(F.col("kind") != "error")
     fn = file_name_col()
-    f1 = F.concat(F.lit("File Name : "), fn, F.lit("\n\n\n"), F.col("text"))
+    f1 = F.concat(
+        F.lit("File Name : "), fn, F.lit("\n\n\n"), F.coalesce(F.col("text"), F.lit(""))
+    )
     f2 = F.replace(F.lower(f1), F.lit("\n"), F.lit(" "))
     return spans.select(
         F.concat_ws("#", "doc_id", "order").alias("row_id"),

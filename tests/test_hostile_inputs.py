@@ -63,6 +63,67 @@ def test_broken_html_tolerated(spark):
     assert isinstance(units, list)
 
 
+def test_per_doc_error_isolation(spark):
+    """A malformed file yields an error span; the job and sibling docs are
+    unaffected (reference: per-file Failed status, consumer.py:322-344)."""
+    bad_csv = ",,\n"  # all-Unnamed with nothing after the retry -> EmptyDataError
+    rows = [
+        ("d_bad", [{"kind": "csv_rows", "text": bad_csv, "media_ref": "", "offset": 0}]),
+        ("d_ok", [{"kind": "md", "text": "fine", "media_ref": "", "offset": 0}]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    from qs_spark.extract import extract_spans
+    from qs_spark.store import build_store, failed_docs
+
+    spans = extract_spans(df)
+    out = spans.toPandas()
+    assert set(out[out.doc_id == "d_ok"]["text"]) == {"fine"}
+    bad = out[out.doc_id == "d_bad"]
+    assert len(bad) == 1 and bad.iloc[0]["kind"] == "error"
+    assert "EmptyDataError" in bad.iloc[0]["text"]
+    # failed docs feed status write-back; the store excludes them
+    assert {r.doc_id for r in failed_docs(spans).collect()} == {"d_bad"}
+    assert build_store(spans).filter(F.col("document_id") == "d_bad").count() == 0
+
+
+def test_unknown_first_kind_matches_oracle(spark):
+    """fmt derivation must scan for the first KNOWN kind like the oracle."""
+    rows = [
+        (
+            "d_mixed",
+            [
+                {"kind": "bogus", "text": "junk", "media_ref": "", "offset": 0},
+                {"kind": "pdf_text", "text": "real page", "media_ref": "", "offset": 1},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    from qs_spark.extract import extract_spans
+    from qs_spark.kernels.dispatch import extract_doc
+
+    got = extract_spans(df).toPandas().sort_values("order").reset_index(drop=True)
+    want = extract_doc(
+        [dict(kind="bogus", text="junk", media_ref="", offset=0),
+         dict(kind="pdf_text", text="real page", media_ref="", offset=1)]
+    )
+    assert list(got["kind"]) == [u["kind"] for u in want] == ["pdf_text"]
+    assert list(got["text"]) == ["real page"]
+
+
+def test_all_empty_bucket_still_commits(spark, tmp_path):
+    """Buckets whose docs all gate out must still checkpoint (else every
+    resume re-extracts them), even when NO spans were ever written."""
+    from qs_spark.catalog import ParquetCatalog
+    from qs_spark.checkpoint import committed_buckets, run_extract_checkpointed
+
+    rows = [(f"e{i}", [{"kind": "txt", "text": "", "media_ref": "", "offset": 0}]) for i in range(12)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    cat = ParquetCatalog(str(tmp_path / "wh"))
+    out = run_extract_checkpointed(spark, df, cat, run_id="empty", n_buckets=4, buckets_per_wave=2)
+    assert out.count() == 0
+    assert committed_buckets(spark, cat) == {0, 1, 2, 3}
+
+
 def test_csv_with_quotes_and_commas(spark):
     csv = 'a,b\n"x, with comma","quo""te"\nplain,2'
     units = extract_doc([{"kind": "csv_rows", "text": csv, "media_ref": "", "offset": 0}], "csv")

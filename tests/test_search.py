@@ -96,6 +96,26 @@ def test_exact_match_containment(spark):
     assert names <= lit_names
 
 
+def test_exact_match_ands_stopwords_too(spark):
+    # reference passes query_ (stopwords INCLUDED) to and_query for
+    # search_type='search' (file_searcher.py:269-272): 'the spark' must
+    # require BOTH tokens, not just 'spark'
+    rows = [
+        ("r1", "d1", "f1", 1, "the spark engine"),
+        ("r2", "d2", "f2", 1, "breathe spark nap the spark"),  # has token 'the'
+        ("r3", "d3", "f3", 1, "spark only here the-less"),  # no token 'the'... has 'the'? 'the-less' tokenizes to ['the','less']!
+        ("r4", "d4", "f4", 1, "spark without stopword token"),
+    ]
+    st = spark.createDataFrame(
+        rows, "row_id string, document_id string, document_name string, page_no int, text string"
+    )
+    matched = S.match_query_rows(st, "the spark", exact_match=True).toPandas()
+    # r4 contains token 'spark' but NOT 'the' -> excluded by the AND;
+    # r1/r2 contain both tokens AND the substring 'the spark'
+    assert "r4" not in set(matched["row_id"])
+    assert {"r1", "r2"} <= set(matched["row_id"])
+
+
 def test_preview_window_reference_semantics():
     # char-exact vs the reference algorithm (file_preview.py:45-83)
     text = "alpha beta gamma delta TARGET epsilon zeta eta theta"
