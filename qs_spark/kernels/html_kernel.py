@@ -18,6 +18,10 @@ Spec (deterministic, stdlib-only DOM tokenization via html.parser):
     ignored — unanchored runs are overwhelmingly chrome at web scale.
   - Empty blocks are dropped; emitted spans have kind 'html_text' in document
     order.
+  - Malformed-markup recovery (HTML implied end tags): a new <p>/<li>/<tr>/
+    heading closes an open block of the same tag; any block start closes an
+    open <p>; </li>-style end tags unwind implied-open inner blocks; blocks
+    still open at end-of-document are flushed, not discarded.
 """
 
 from __future__ import annotations
@@ -30,6 +34,9 @@ _PRUNE = {
     "aside", "header", "form", "button", "iframe", "svg",
 }
 _BLOCKS = {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote", "tr"}
+# blocks a new same-tag start implicitly closes (HTML implied-end-tag rules;
+# blockquote/pre nest legitimately and are excluded)
+_SELF_CLOSE_SAME = {"p", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6"}
 _VOID = {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
          "embed", "source", "track", "wbr"}
 _WS_RE = re.compile(r"\s+")
@@ -56,12 +63,38 @@ class _MainContentParser(HTMLParser):
         if tag == "a":
             self._a_depth += 1
         if tag in _BLOCKS:
+            # HTML implied-end-tag rules: real-world markup omits </p>/</li>
+            # (<p>one<p>two, <li>a<li>b); without this the unclosed block
+            # stays stuck on the stack and its text is silently lost
+            while self._block_stack:
+                top = self._block_stack[-1]["tag"]
+                if (top == tag and tag in _SELF_CLOSE_SAME) or (
+                    top == "p" and tag != "p"  # any block start closes an open <p>
+                ):
+                    self._emit_top()
+                else:
+                    break
             self._block_stack.append(
                 {"tag": tag, "parts": [], "link": 0, "total": 0, "cells": []}
             )
         elif tag in ("td", "th") and self._block_stack and self._block_stack[-1]["tag"] == "tr":
             b = self._block_stack[-1]
             b["cells"].append(len(b["parts"]))  # cell boundary marker
+
+    def _emit_top(self) -> None:
+        b = self._block_stack.pop()
+        if b["tag"] == "tr" and b["cells"]:
+            cell_texts = []
+            bounds = b["cells"] + [len(b["parts"])]
+            for i in range(len(bounds) - 1):
+                cell_texts.append("".join(b["parts"][bounds[i] : bounds[i + 1]]))
+            text = " | ".join(
+                t for t in (_WS_RE.sub(" ", c).strip() for c in cell_texts) if t
+            )
+        else:
+            text = _WS_RE.sub(" ", "".join(b["parts"])).strip()
+        if text and (b["total"] == 0 or b["link"] / b["total"] <= 0.5):
+            self.blocks.append(text)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _PRUNE:
@@ -72,20 +105,19 @@ class _MainContentParser(HTMLParser):
             return
         if tag == "a":
             self._a_depth = max(0, self._a_depth - 1)
-        if tag in _BLOCKS and self._block_stack and self._block_stack[-1]["tag"] == tag:
-            b = self._block_stack.pop()
-            if tag == "tr" and b["cells"]:
-                cell_texts = []
-                bounds = b["cells"] + [len(b["parts"])]
-                for i in range(len(bounds) - 1):
-                    cell_texts.append("".join(b["parts"][bounds[i] : bounds[i + 1]]))
-                text = " | ".join(
-                    t for t in (_WS_RE.sub(" ", c).strip() for c in cell_texts) if t
-                )
-            else:
-                text = _WS_RE.sub(" ", "".join(b["parts"])).strip()
-            if text and (b["total"] == 0 or b["link"] / b["total"] <= 0.5):
-                self.blocks.append(text)
+        if tag in _BLOCKS and any(b["tag"] == tag for b in self._block_stack):
+            # unwind implied-open inner blocks (<li>a<p>b</li>) down to and
+            # including the matching one
+            while self._block_stack:
+                top_is_match = self._block_stack[-1]["tag"] == tag
+                self._emit_top()
+                if top_is_match:
+                    break
+
+    def flush(self) -> None:
+        """Emit any still-open blocks (document ended without closing them)."""
+        while self._block_stack:
+            self._emit_top()
 
     def handle_data(self, data: str) -> None:
         if self._prune_depth or not self._block_stack:
@@ -103,6 +135,7 @@ def extract_main(html: str) -> list[str]:
     p = _MainContentParser()
     p.feed(html or "")
     p.close()
+    p.flush()
     return p.blocks
 
 

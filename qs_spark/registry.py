@@ -21,16 +21,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def publish_transition(registry: DataFrame, doc_id: str, version_id: int) -> DataFrame:
-    """T1: publish `version_id` of `doc_id`; other non-draft versions -> 'inter'."""
+def publish_transition(registry: DataFrame, doc_id: str, version_id: int | None) -> DataFrame:
+    """T1: publish `version_id` of `doc_id`; other non-draft versions -> 'inter'.
+
+    version_id=None is the REVERT transition (reference
+    quanta-search-api/core/file_searcher.py:150-177: `latest_version=None`):
+    every non-zero version of the doc flips to 'inter' and no version is
+    published; version 0 stays Draft.  Pair with with_current_version for the
+    current_version write-back the reference performs alongside."""
     is_doc = F.col("doc_id") == doc_id
+    published = (
+        F.lit(False) if version_id is None else is_doc & (F.col("version_id") == version_id)
+    )
     return registry.withColumn(
         "state",
-        F.when(is_doc & (F.col("version_id") == version_id), F.lit("Publish"))
+        F.when(published, F.lit("Publish"))
         .when(is_doc & (F.col("version_id") == 0), F.lit("Draft"))
         .when(is_doc, F.lit("inter"))
         .otherwise(F.col("state")),
     )
+
+
+def with_current_version(registry: DataFrame) -> DataFrame:
+    """T1 write-back companion: per-doc current_version = the published
+    version (null when none is published, e.g. after a revert) — the
+    reference's `current_version` field update (file_searcher.py:163-177)."""
+    cur = registry.groupBy("doc_id").agg(
+        F.max(F.when(F.col("state") == "Publish", F.col("version_id"))).alias(
+            "current_version"
+        )
+    )
+    return registry.join(F.broadcast(cur), "doc_id", "left")
 
 
 def skip_existing_versions(incoming: DataFrame, registry: DataFrame) -> DataFrame:
@@ -47,21 +68,35 @@ def backfill_uploaded_date(registry: DataFrame) -> DataFrame:
 
 
 def delete_versions(
-    registry: DataFrame, spans: DataFrame, doc_id: str, version_id: int | None
-) -> tuple[DataFrame, DataFrame]:
+    registry: DataFrame,
+    spans: DataFrame,
+    doc_id: str,
+    version_id: int | None,
+    postings: DataFrame | None = None,
+) -> tuple[DataFrame, ...]:
     """T4: remove a version (or all, when version_id is None) from registry +
-    spans; returns the surviving (registry, spans)."""
+    spans + (when given) the postings/index table, matching the reference's
+    full cascade — delete removes the index entries too
+    (quanta-search-consumer/core/file_upload.py:481-651, index removal
+    ~:535-576).  A deleted doc must not remain retrievable via the inverted
+    index.  Returns the surviving (registry, spans[, postings]).
+
+    The postings table keys rows by document_id (+ version_id when present);
+    tables without a version column cascade on doc alone."""
     if version_id is None:
-        reg_keep = registry.filter(F.col("doc_id") != doc_id)
-        spans_keep = spans.filter(F.col("doc_id") != doc_id)
+        cond = F.col("doc_id") != doc_id
     else:
-        reg_keep = registry.filter(
-            (F.col("doc_id") != doc_id) | (F.col("version_id") != version_id)
-        )
-        spans_keep = spans.filter(
-            (F.col("doc_id") != doc_id) | (F.col("version_id") != version_id)
-        )
-    return reg_keep, spans_keep
+        cond = (F.col("doc_id") != doc_id) | (F.col("version_id") != version_id)
+    reg_keep = registry.filter(cond)
+    spans_keep = spans.filter(cond)
+    if postings is None:
+        return reg_keep, spans_keep
+    pdoc = F.col("document_id") if "document_id" in postings.columns else F.col("doc_id")
+    if version_id is None or "version_id" not in postings.columns:
+        pcond = pdoc != doc_id
+    else:
+        pcond = (pdoc != doc_id) | (F.col("version_id") != version_id)
+    return reg_keep, spans_keep, postings.filter(pcond)
 
 
 def resolve_status(registry: DataFrame, results: DataFrame) -> DataFrame:

@@ -46,11 +46,44 @@ def realm_key_diff(presented_keys_col, registered_keys: list[str]):
     return missing, extra
 
 
-def assign_index_ids(df: DataFrame, last_index_id: int = 0, order_cols=("doc_id",)) -> DataFrame:
-    """S12: monotonically increasing ids, resuming from a stored offset
-    (the checkpoint's last_index_id, T3).  A global row_number is a single
-    total order — at 100 TB you'd assign per-bucket ranges instead
-    (bucket_offset + local row_number); this is the semantic reference shape.
+def assign_index_ids(
+    df: DataFrame, last_index_id: int = 0, order_cols=("doc_id",), n_buckets: int = 64
+) -> DataFrame:
+    """S12: monotonically increasing ids ordered by order_cols, resuming from
+    a stored offset (the checkpoint's last_index_id, T3).
+
+    Scale path (no single-partition window): the primary order key is range-
+    bucketed into n_buckets equal-width buckets (one min/max scan), per-bucket
+    counts turn into prefix-sum offsets (n_buckets driver rows), and each
+    bucket assigns bucket_offset + local row_number in parallel.  Because the
+    buckets are VALUE ranges of the order key, concatenating them in bucket
+    order reproduces the exact global ordering — result is identical to a
+    global row_number, but the widest window is one bucket.  Skewed key
+    distributions only unbalance bucket sizes (perf, not correctness).
+
+    Falls back to the single global window when the key is non-numeric or the
+    input is empty/constant — callers at scale order by a numeric key.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn("index_id", F.row_number().over(w) + F.lit(last_index_id))
+    key = order_cols[0]
+    mm = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    lo, hi = mm["lo"], mm["hi"]
+    numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+    if not numeric or lo is None or lo == hi or n_buckets < 2:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn("index_id", F.row_number().over(w) + F.lit(last_index_id))
+
+    bucket = F.width_bucket(F.col(key), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+    bdf = df.withColumn(
+        "_b", F.least(bucket, F.lit(n_buckets)).cast("int")  # hi lands in n_buckets+1
+    )
+    counts = {r["_b"]: r["c"] for r in bdf.groupBy("_b").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = {}, last_index_id
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_b").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        bdf.withColumn("index_id", F.row_number().over(w) + off_map[F.col("_b")])
+        .drop("_b")
+    )

@@ -164,15 +164,52 @@ def sigmoid_score_col(score_col):
     return 1 / (1 + F.exp(-3.0 * score_col))
 
 
-def search_rank(store: DataFrame, query: str, exact_match: bool = False) -> DataFrame:
+def filter_tenant(
+    store: DataFrame,
+    state: str | None = None,
+    uid: str | None = None,
+    realm: dict[str, str] | None = None,
+) -> DataFrame:
+    """P4 multi-tenancy filter, mirroring the reference's retrieval-time
+    predicate `metadata.state == ev.state AND uid AND realm equality`
+    (quanta-search-api/core/file_searcher.py:236,258,265 and
+    core/inverted_index_retiver.py:124,162; realm schema
+    api/schemas/schema.py:33-41,137-147).  realm is a key->value map column;
+    equality means every presented key matches the stored tag."""
+    if state is not None:
+        store = store.filter(F.col("state") == state)
+    if uid is not None:
+        store = store.filter(F.col("uid") == uid)
+    if realm:
+        for k, v in realm.items():
+            store = store.filter(F.col("realm")[k] == v)
+    return store
+
+
+def search_rank(
+    store: DataFrame,
+    query: str,
+    exact_match: bool = False,
+    postings_path: str | None = None,
+    state: str | None = None,
+    uid: str | None = None,
+    realm: dict[str, str] | None = None,
+) -> DataFrame:
     """The search pipeline minus previews (those need the pandas kernel):
     retrieval -> P6 containment (exact mode) -> A2 rollup -> F10 score ->
     P7 threshold -> O1 top-200.
 
+    When `postings_path` points at a write_postings table, OR retrieval uses
+    the partition-pruned postings lookup + semi-join back to store rows (the
+    scale default: a 3-term query scans 3/n_buckets of the index instead of
+    the whole store).  Tenant filters (state/uid/realm, P4) apply to the
+    store rows before scoring.
+
     Returns (document_name, match_count, relavence_score) — score scaled
     x100 round 3 like the response (file_searcher.py:341).
     """
-    rows = match_query_rows(store, query, exact_match)
+    store = filter_tenant(store, state, uid, realm)
+    rows = match_query_rows(store, query, exact_match, postings_path)
     if rows is None:
         return store.sparkSession.createDataFrame(
             [], "document_name string, match_count long, relavence_score double"
@@ -189,31 +226,46 @@ def search_rank(store: DataFrame, query: str, exact_match: bool = False) -> Data
     )
 
 
-def match_query_rows(store: DataFrame, query: str, exact_match: bool):
+def match_query_rows(
+    store: DataFrame, query: str, exact_match: bool, postings_path: str | None = None
+):
     """Retrieval-mode selection (file_searcher.py:289-295): partial match ORs
     the stopword-FILTERED terms; exact match ANDs ALL punct-stripped words —
     the reference passes `query_` (stopwords included) to and_query for
     search_type='search' — then applies P6 substring containment.  Returns
-    None for the stopword-only-partial short circuit (file_searcher.py:233)."""
+    None for the stopword-only-partial short circuit (file_searcher.py:233)
+    and for a degenerate exact query with no words (the reference's
+    and_query([]) returns nothing; scanning the whole store for P6 would
+    both diverge and turn a punctuation-only query into a full-store scan)."""
     query__, query_, terms = normalize_query(query)
     if exact_match:
-        rows = _match_rows_and(store, query_.split())
+        words = query_.split()
+        if not words:
+            return None
+        rows = _match_rows_and(store, words)
         return rows.filter(F.contains(F.col("text"), F.lit(query__)))  # P6
     if not terms:
         return None
+    if postings_path is not None:
+        hit_ids = or_search_postings(
+            lookup_postings(store.sparkSession, postings_path, terms), terms
+        )
+        return store.join(hit_ids, "row_id", "left_semi")
     return _match_rows_or(store, terms)
 
 
 def score_per_file(rows: DataFrame) -> DataFrame:
     """A2 rollup + F10 score + P7 threshold, shared by search_rank and
     search_with_previews.  fl_score_len = DISTINCT file count of the result
-    set (file_searcher.py:322), taken as a global window over the
-    ALREADY-AGGREGATED per-file rows: one row per matching file, so the
-    single-partition window is tiny and the store is scanned exactly once
-    (a separate .agg() would re-scan it)."""
+    set (file_searcher.py:322).  It is attached as a broadcast scalar — the
+    count aggregate reuses the per-file groupBy's shuffle exchange
+    (ReusedExchange; verified in .explain), so the store is still scanned
+    once and no single-partition window exists: at web scale "matching
+    files" can be millions of rows, too many for one partition."""
     per_file = rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
+    n_files = per_file.agg(F.count("*").alias("n_files"))
     return (
-        per_file.withColumn("n_files", F.count("*").over(Window.partitionBy()))
+        per_file.crossJoin(F.broadcast(n_files))
         .withColumn("avg_score", compute_score_col(F.col("match_count"), F.col("n_files")))
         .filter(F.col("avg_score") > CUTOFF)  # P7
         .select("document_name", "match_count", "avg_score")
@@ -254,7 +306,14 @@ def bm25l_phrase(store: DataFrame, terms: list[str], k1=1.2, b=0.75, delta=0.5) 
         idf    = ln((N+1)/(df+0.5))
 
     Phrase tf = non-overlapping occurrences of the space-joined phrase within
-    the row's space-joined tokens (positional adjacency).
+    the row's space-joined tokens (positional adjacency).  Documented edge:
+    immediately adjacent repetitions share their boundary space, so
+    " data table data table " counts tf=1, not 2 — the separator-consuming
+    replace cannot see the second occurrence.  Kept as-is deliberately: the
+    DuckDB oracle reproduces the same formula (parity is exact), back-to-back
+    full-phrase repeats are vanishingly rare in prose, and the overlap-
+    tolerant alternative (regex lookahead) is unavailable in the oracle's
+    RE2 engine, which would break verifiability.
     """
     phrase = " " + " ".join(terms) + " "
     toks = F.concat(F.lit(" "), F.array_join(tokens_col(), " "), F.lit(" "))

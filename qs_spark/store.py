@@ -35,17 +35,34 @@ def failed_docs(spans: DataFrame) -> DataFrame:
     )
 
 
-def build_store(spans: DataFrame, state: str = "Publish", version_id: int = 1) -> DataFrame:
+def build_store(
+    spans: DataFrame,
+    state: str = "Publish",
+    version_id: int = 1,
+    uid: str = "u0",
+    realm: dict[str, str] | None = None,
+) -> DataFrame:
     """spans (doc_id, order, kind, text, media_ref, fmt) -> store rows.
     Error spans are excluded (the reference stores nothing for a Failed doc);
     null text coalesces to '' before F1, like the reference's
-    `text if text else \"\"` (consumer utils/util.py:63-64)."""
+    `text if text else \"\"` (consumer utils/util.py:63-64).
+
+    Multi-tenancy (P4): every row carries the owning `uid` and a `realm`
+    key->value tag map, mirroring the reference's per-document metadata
+    (quanta-search-api/schemas/schema.py:33-41,137-147); retrieval filters on
+    them via search.filter_tenant (file_searcher.py:236,258,265)."""
     spans = spans.filter(F.col("kind") != "error")
     fn = file_name_col()
     f1 = F.concat(
         F.lit("File Name : "), fn, F.lit("\n\n\n"), F.coalesce(F.col("text"), F.lit(""))
     )
     f2 = F.replace(F.lower(f1), F.lit("\n"), F.lit(" "))
+    realm = realm or {}
+    realm_col = (
+        F.create_map(*[F.lit(x) for kv in realm.items() for x in kv])
+        if realm
+        else F.create_map().cast("map<string,string>")
+    )
     return spans.select(
         F.concat_ws("#", "doc_id", "order").alias("row_id"),
         F.col("doc_id").alias("document_id"),
@@ -57,4 +74,6 @@ def build_store(spans: DataFrame, state: str = "Publish", version_id: int = 1) -
         "fmt",
         F.lit(state).alias("state"),
         F.lit(version_id).alias("version_id"),
+        F.lit(uid).alias("uid"),
+        realm_col.alias("realm"),
     )

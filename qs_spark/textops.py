@@ -139,18 +139,48 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return per_doc.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+def _simhash_band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Split `bits` into n_bands contiguous (lo, width) bands, widths
+    differing by at most 1."""
+    base, rem = divmod(bits, n_bands)
+    bounds, lo = [], 0
+    for j in range(n_bands):
+        w = base + (1 if j < rem else 0)
+        bounds.append((lo, w))
+        lo += w
+    return bounds
+
+
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3, group_col: str = "source"
+    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """SimHash near-dup: pairs whose fingerprints differ in <= max_hamming
-    bits, blocked by group_col (at scale: block by fingerprint bands, same
-    pigeonhole trick as MinHash-LSH — any pair within hamming k shares at
-    least one of k+1 bit-bands exactly)."""
-    s = simhash(docs).join(docs.select("doc_id", group_col), "doc_id")
-    a, b = s.alias("a"), s.alias("b")
+    """SimHash near-dup: all pairs whose fingerprints differ in <= max_hamming
+    bits — GLOBAL, no group blocking.
+
+    Scale path (hamming-k pigeonhole): split the fingerprint into
+    (max_hamming + 1) contiguous bit-bands; any pair within hamming k differs
+    in at most k bands, so it matches EXACTLY on at least one band.  Candidate
+    generation is therefore a bucket-local equi-join on (band, band_value) —
+    never an all-pairs join — and exact hamming verifies each candidate.
+    Result is identical to brute force (the band join is lossless for
+    hamming <= max_hamming); residual skew risk is a hot band bucket, bounded
+    by band width (bits/(k+1) bits per band)."""
+    s = simhash(docs, bits)
+    n_bands = max_hamming + 1
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1)).alias("val"),
+        )
+        for j, (lo, w) in enumerate(_simhash_band_bounds(bits, n_bands))
+    ]
+    b = s.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, group_col)
+        b.alias("a")
+        .join(b.alias("b"), ["band", "val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -158,19 +188,25 @@ def simhash_near_dup_pairs(
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several bands
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, group_col: str = "source") -> DataFrame:
-    """n-gram Jaccard similarity for doc pairs within the same group
-    (bounded — the group is the blocking key; at scale use LSH buckets)."""
-    sh = docs.select(group_col, "doc_id", F.explode(shingles_col(n)).alias("sh")).distinct()
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """n-gram Jaccard similarity over LSH candidate pairs — the scale path.
+
+    Candidate pairs come from MinHash-LSH banding (lsh_candidate_pairs), so
+    pair generation is bucket-local; exact Jaccard is then computed only for
+    candidates via two shingle joins.  Recall is the LSH band guarantee
+    (pairs under the band similarity threshold may be missed — by design);
+    precision is exact."""
+    sh = docs.select("doc_id", F.explode(shingles_col(n)).alias("sh")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cand = lsh_candidate_pairs(docs)
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), [group_col, "sh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sh.alias("a"), cand.doc_a == F.col("a.doc_id"))
+        .join(sh.alias("b"), (cand.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
