@@ -47,3 +47,18 @@ def test_compact_preserves_rows(spark, tmp_path):
 
     files = [f for f in os.listdir(cat.path("t")) if f.endswith(".parquet")]
     assert len(files) <= 2
+
+
+def test_rewrite_crash_recovery(spark, tmp_path):
+    # a crash between rename(final->backup) and rename(stage->final) must not
+    # make the table invisible to a resumed run
+    import os
+
+    from qs_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path))
+    cat.overwrite(spark.range(5).toDF("id"), "t")
+    os.rename(cat.path("t"), cat.path("t") + ".__old__")  # simulated crash
+    assert cat.exists("t")  # recovery restored the backup
+    assert cat.read(spark, "t").count() == 5
+    assert not os.path.isdir(cat.path("t") + ".__old__")

@@ -262,3 +262,39 @@ def test_order_is_position_after_drop():
     ]
     units = extract_doc(spans, "pdf")
     assert [(u["order"], u["text"]) for u in units] == [(0, "a"), (1, "b")]
+
+
+def test_html_implied_end_tags_and_flush():
+    from qs_spark.kernels.html_kernel import extract_main
+
+    # unclosed <p>/<li> (HTML implied end tags) must not swallow content
+    assert extract_main("<p>one<p>two</p>") == ["one", "two"]
+    assert extract_main("<ul><li>a<li>b</li></ul>") == ["a", "b"]
+    assert extract_main("<p>tail") == ["tail"]  # flushed at end of document
+    # </li> unwinds an implied-open inner block
+    assert extract_main("<li>a<p>b</li>") == ["b", "a"]
+    # heading closes an open paragraph
+    assert extract_main("<p>intro<h2>head</h2>") == ["intro", "head"]
+
+
+def test_stitch_collapses_part_errors():
+    # mega-doc split path: one failing part => whole doc fails with a single
+    # order=-1 error span, identical to safe_extract_doc's whole-doc contract
+    import pandas as pd
+
+    from qs_spark.extract import _stitch
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 3,
+            "part_k": [0, 1, 1],
+            "local_order": [0, -1, 0],
+            "kind": ["pdf_text", "error", "pdf_text"],
+            "text": ["a", "Boom: x", "b"],
+            "media_ref": ["", "", ""],
+            "fmt": ["pdf"] * 3,
+        }
+    )
+    out = _stitch(pdf)
+    assert len(out) == 1
+    assert out.iloc[0]["kind"] == "error" and out.iloc[0]["order"] == -1

@@ -71,3 +71,45 @@ def test_status_writeback_t2(spark):
     out = resolve_status(reg, results).toPandas()
     assert (out[out.doc_id == "d2"]["status"] == "Success").all()
     assert (out[out.doc_id == "d1"]["status"] == "Success").all()
+
+
+def test_revert_transition_t1(spark):
+    # version_id=None (reference file_searcher.py:150-177): all non-zero
+    # versions -> 'inter', nothing published, draft stays
+    from qs_spark.registry import with_current_version
+
+    out = (
+        publish_transition(_registry(spark), "d1", None)
+        .toPandas()
+        .set_index(["doc_id", "version_id"])
+    )
+    assert out.loc[("d1", 1), "state"] == "inter"
+    assert out.loc[("d1", 2), "state"] == "inter"
+    assert out.loc[("d1", 0), "state"] == "Draft"
+    assert out.loc[("d2", 1), "state"] == "Publish"  # other docs untouched
+    # current_version write-back: NULL after revert, published version else
+    cur = with_current_version(publish_transition(_registry(spark), "d1", None)).toPandas()
+    assert cur[cur.doc_id == "d1"]["current_version"].isna().all()
+    assert (cur[cur.doc_id == "d2"]["current_version"] == 1).all()
+
+
+def test_delete_cascade_includes_postings_t4(spark):
+    # file_upload.py:481-651: delete removes index entries too — a deleted
+    # doc must not remain retrievable via the postings table
+    reg = _registry(spark)
+    spans = spark.createDataFrame(
+        [("d1", 1, "a"), ("d2", 1, "c")], "doc_id string, version_id int, text string"
+    )
+    postings = spark.createDataFrame(
+        [("d1", "alpha", 2), ("d1", "beta", 1), ("d2", "alpha", 1)],
+        "doc_id string, term string, tf int",
+    )
+    r, s, p = delete_versions(reg, spans, "d1", None, postings=postings)
+    assert p.filter("doc_id='d1'").count() == 0
+    assert p.count() == 1
+    # document_id-named postings (build_postings output shape) cascade too
+    postings2 = spark.createDataFrame(
+        [("d1", "alpha"), ("d2", "beta")], "document_id string, term string"
+    )
+    _, _, p2 = delete_versions(reg, spans, "d1", None, postings=postings2)
+    assert p2.filter("document_id='d1'").count() == 0 and p2.count() == 1

@@ -70,3 +70,26 @@ def test_preview_docs_pages_sorted(spark):
     spark_out = preview_docs(store, "table", ids)
     cnt = preview_count(spark_out).first().preview_count
     assert cnt == int(out["previews"].map(len).sum())
+
+
+def test_assign_index_ids_bucketed_matches_global_order(spark):
+    """Numeric keys take the per-bucket-range path; ids must still equal the
+    global rank (bucket ranges are order-aligned), resuming from the offset."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    got = (
+        assign_index_ids(d, last_index_id=1000, n_buckets=16)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.index_id) == [1001 + i for i in range(len(got))]
+
+
+def test_assign_index_ids_no_global_window_for_numeric(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    plan = (
+        assign_index_ids(d, n_buckets=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the window must be partitioned (by _b), not a single global sort
+    assert "SinglePartition" not in plan

@@ -167,3 +167,50 @@ def test_bm25l_phrase(spark):
                 t for t in __import__("re").sub(r"[^a-z0-9]+", " ", r.text).split() if t
             )
             assert "data table" in toks
+
+
+def test_exact_match_wordless_query_short_circuits(spark):
+    # and_query([]) in the reference returns nothing; a punctuation-only
+    # exact query must not degrade into a full-store P6 scan
+    st = _store(spark)
+    assert S.search_rank(st, "?!,.", exact_match=True).count() == 0
+    assert S.match_query_rows(st, "?!,.", exact_match=True) is None
+
+
+def test_tenant_filter_p4(spark):
+    # uid + realm-tag equality mirror file_searcher.py:236,258,265
+    rows = [
+        ("r1", "d1", "f1", 1, "alpha text", "Publish", "u1", {"lang": "en"}),
+        ("r2", "d2", "f2", 1, "alpha text", "Publish", "u2", {"lang": "en"}),
+        ("r3", "d3", "f3", 1, "alpha text", "Publish", "u1", {"lang": "fr"}),
+        ("r4", "d4", "f4", 1, "alpha text", "Draft", "u1", {"lang": "en"}),
+    ]
+    st = spark.createDataFrame(
+        rows,
+        "row_id string, document_id string, document_name string, page_no int,"
+        " text string, state string, uid string, realm map<string,string>",
+    )
+    got = S.filter_tenant(st, state="Publish", uid="u1", realm={"lang": "en"})
+    assert {r.row_id for r in got.collect()} == {"r1"}
+    out = S.search_rank(st, "alpha", state="Publish", uid="u1", realm={"lang": "en"})
+    assert {r.document_name for r in out.collect()} == {"f1"}
+
+
+def test_search_rank_postings_path_equals_scan(spark, tmp_path):
+    # the partition-pruned postings path is the scale default and must
+    # reproduce the scan result exactly
+    st = _store(spark)
+    path = str(tmp_path / "postings")
+    S.write_postings(st, path)
+    scan = S.search_rank(st, "spark vector window").toPandas()
+    pruned = S.search_rank(st, "spark vector window", postings_path=path).toPandas()
+    assert scan.equals(pruned)
+
+
+def test_score_per_file_no_single_partition_window(spark):
+    st = _store(spark)
+    plan = (
+        S.search_rank(st, "spark vector")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # n_files is a broadcast scalar now

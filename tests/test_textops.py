@@ -97,3 +97,44 @@ def test_compute_score_reference_constants():
         compute_score_col(F.lit(7.0), F.lit(40.0)).alias("s")
     ).first().s
     assert abs(got - round(ref, 6)) < 1e-9
+
+
+def test_simhash_banded_equals_bruteforce(spark):
+    """The pigeonhole band join must be LOSSLESS for hamming <= k: result
+    set == brute-force all-pairs (the r01 group-blocked version was a scale
+    hazard; this one must also be exactly right)."""
+    import itertools
+
+    d = _docs(spark).limit(80)
+    got = X.simhash_near_dup_pairs(d, max_hamming=4).toPandas()
+    sims = X.simhash(d).toPandas().set_index("doc_id")["simhash"]
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sims.index), 2)
+        if bin(int(sims[a]) ^ int(sims[b])).count("1") <= 4
+    }
+    assert set(zip(got.doc_a, got.doc_b)) == expect
+    assert (got.hamming <= 4).all()
+
+
+def test_simhash_banded_plan_has_no_cartesian(spark):
+    d = _docs(spark).limit(50)
+    plan = (
+        X.simhash_near_dup_pairs(d, max_hamming=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_pairs_are_lsh_candidates(spark):
+    """ngram_jaccard_pairs is LSH-prefiltered: every returned pair must be an
+    LSH candidate, and jaccard values are exact (0, 1]."""
+    d = _docs(spark).filter(F.col("source") == "src0")
+    pairs = X.ngram_jaccard_pairs(d).toPandas()
+    cand = X.lsh_candidate_pairs(d).toPandas()
+    cset = set(zip(cand.doc_a, cand.doc_b))
+    assert set(zip(pairs.doc_a, pairs.doc_b)) <= cset
+    if len(pairs):
+        assert ((pairs.jaccard > 0) & (pairs.jaccard <= 1)).all()
+        assert (pairs.doc_a < pairs.doc_b).all()
