@@ -49,11 +49,12 @@ def run_extract_once(cores: int, sf_dir: str) -> dict:
     """
     from qs_spark.corpus import corpus_df, corpus_parquet
     from qs_spark.extract import extract_spans
-    from qs_spark.session import get_spark
+    from qs_spark.session import get_spark, tune_scan_split
 
     spark = get_spark(f"bench_extract_{cores}", cores=cores)
     n_docs = _n_docs(spark, sf_dir) * DOCS_MULT
     input_df = corpus_parquet(spark, n_docs)
+    tune_scan_split(spark, input_df)  # size-derived split, not the 4MB default
     # warmup: JVM + python worker pool (small slice, excluded from timing)
     extract_spans(corpus_df(spark, 512)).count()
     t0 = time.time()
@@ -87,11 +88,14 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
     from qs_spark.session import get_spark
     from qs_spark.store import build_store
 
+    from qs_spark.session import tune_scan_split
+
     spark = get_spark(f"bench_{name}", cores=cores)
     out: dict = {"query": name}
     if name == "extract":
         n_docs = _n_docs(spark, sf_dir) * DOCS_MULT
         input_df = corpus_parquet(spark, n_docs)
+        tune_scan_split(spark, input_df)
         extract_spans(corpus_df(spark, 512)).count()  # warmup
         t0 = time.time()
         store = build_store(extract_spans(input_df, repartition_input=False))

@@ -67,6 +67,12 @@ def main(argv=None) -> int:
         print("one of --input/--synthetic required", file=sys.stderr)
         return 2
 
+    from qs_spark.session import tune_scan_split
+
+    split = tune_scan_split(spark, docs)  # size-derived scan split
+    if split:
+        print(f"scan split: {split} bytes", file=sys.stderr)
+
     cat = ParquetCatalog(args.output)
     spans = run_extract_checkpointed(
         spark,

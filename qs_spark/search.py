@@ -257,12 +257,19 @@ def match_query_rows(
 def score_per_file(rows: DataFrame) -> DataFrame:
     """A2 rollup + F10 score + P7 threshold, shared by search_rank and
     search_with_previews.  fl_score_len = DISTINCT file count of the result
-    set (file_searcher.py:322).  It is attached as a broadcast scalar — the
-    count aggregate reuses the per-file groupBy's shuffle exchange
-    (ReusedExchange; verified in .explain), so the store is still scanned
-    once and no single-partition window exists: at web scale "matching
-    files" can be millions of rows, too many for one partition."""
-    per_file = rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
+    set (file_searcher.py:322), attached as a broadcast scalar.
+
+    Plan shape (audited): the per-file aggregate is CACHED before fan-out —
+    without it, the scalar-count branch and the row branch prune different
+    columns, the aggregate subplans stop being canonically equal, exchange
+    reuse does NOT fire, and the store gets scanned twice (measured).  The
+    cached set is one row per matching file (bounded, post-aggregation);
+    Spark's LRU evicts it under pressure.  No single-partition window
+    anywhere: at web scale "matching files" can be millions of rows, too
+    many for one partition — which rules out the r01 global-window form."""
+    per_file = (
+        rows.groupBy("document_name").agg(F.count("*").alias("match_count")).cache()
+    )
     n_files = per_file.agg(F.count("*").alias("n_files"))
     return (
         per_file.crossJoin(F.broadcast(n_files))

@@ -55,7 +55,9 @@ def get_spark(
         # extraction rows are fat and the kernel is CPU-heavy: a 128 MB scan
         # split is far too coarse (a bucketed input collapses to a handful of
         # tasks and the job runs in 1.x waves).  4 MB max + 4 MB open cost =
-        # one bucket file per task on bucketed layouts, fine-grained waves
+        # one bucket file per task on bucketed layouts, fine-grained waves.
+        # This is only the SESSION DEFAULT sized for the sandbox corpus —
+        # jobs size it from the actual input via tune_scan_split() below
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
     )
@@ -64,3 +66,41 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+MIN_SPLIT_BYTES = 4 * 1024 * 1024
+MAX_SPLIT_BYTES = 256 * 1024 * 1024
+
+
+def tune_scan_split(spark, input_df, waves: int = 4) -> int | None:
+    """Size-derive spark.sql.files.maxPartitionBytes from the ACTUAL input
+    instead of the session default: split = clamp(input_bytes /
+    (cores * waves), 4 MB, 256 MB), targeting ~`waves` scan tasks per core.
+
+    The 4 MB session default is tuned for this sandbox's 100k-doc corpus; at
+    a real 100 TB the same constant would create 25M scan tasks — the split
+    must scale with the input.  maxPartitionBytes is a runtime conf, so this
+    applies to every subsequent scan in the session.
+
+    Returns the chosen split, or None when input size isn't locally
+    determinable (non-local filesystem — on a cluster you'd size via the
+    Hadoop FS API or rely on the table format's statistics)."""
+    import os as _os
+
+    try:
+        files = input_df.inputFiles()
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            if not p.startswith("/"):
+                return None
+            total += _os.path.getsize(p)
+    except Exception:
+        return None
+    if not total:
+        return None
+    cores = spark.sparkContext.defaultParallelism
+    split = max(MIN_SPLIT_BYTES, min(MAX_SPLIT_BYTES, total // max(cores * waves, 1)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(min(split, MIN_SPLIT_BYTES)))
+    return split
