@@ -417,7 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _emb(spark, sf)
         qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
         ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
-        return X.ann_lsh(ed, qvec, k=10)
+        return X.ann_lsh(ed, qvec, k=10, n_probes=3)  # multiprobe recall path
 
     q["x35_ann_lsh_bucketed"] = x35
 

@@ -271,10 +271,23 @@ def _hyperplane(i: int, dim: int) -> list[float]:
     return [float((i * 31 + d * 17) % 13 - 6) for d in range(dim)]
 
 
-def ann_lsh(embeddings: DataFrame, qvec: list[float], k: int = 10, n_planes: int = 6) -> DataFrame:
+def ann_lsh(
+    embeddings: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    n_probes: int = 1,
+) -> DataFrame:
     """LSH-bucketed ANN (scale path): bucket vectors by the sign pattern of
-    n_planes hyperplane dot products; probe only the query's bucket, then
-    exact-rank inside it.  Recall < 1 by construction; the exact baseline is
+    n_planes hyperplane dot products, probe the query's bucket, exact-rank
+    inside it.
+
+    Multiprobe (n_probes > 1) recovers the recall a single probe loses:
+    probe additionally the buckets whose signature differs from the query's
+    in the bits whose hyperplane margin |dot| is smallest — the standard
+    multiprobe-LSH ordering (Lv et al., VLDB'07: flip the least-confident
+    bits first).  n_probes buckets of 2^n_planes are scanned, so cost scales
+    linearly with probes while recall approaches brute force.  Exact baseline:
     ann_bruteforce."""
     dim = len(qvec)
     planes = [_hyperplane(i, dim) for i in range(n_planes)]
@@ -290,13 +303,18 @@ def ann_lsh(embeddings: DataFrame, qvec: list[float], k: int = 10, n_planes: int
             bits = bit if bits is None else bits + bit
         return bits
 
+    qdots = [sum(a * b for a, b in zip(qvec, p)) for p in planes]
     qsig = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(qvec, p)) >= 0:
+    for i, d in enumerate(qdots):
+        if d >= 0:
             qsig |= 1 << i
+    # probe sequence: query bucket, then single-bit flips by ascending margin
+    flip_order = sorted(range(n_planes), key=lambda i: abs(qdots[i]))
+    probes = [qsig] + [qsig ^ (1 << i) for i in flip_order]
+    probes = probes[: max(1, n_probes)]
     bucketed = embeddings.withColumn("sig", sig(F.col("embedding")))
     return (
-        bucketed.filter(F.col("sig") == qsig)
+        bucketed.filter(F.col("sig").isin(probes))
         .select("vec_id", F.round(cosine_col("embedding", qvec), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)

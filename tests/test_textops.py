@@ -138,3 +138,17 @@ def test_jaccard_pairs_are_lsh_candidates(spark):
     if len(pairs):
         assert ((pairs.jaccard > 0) & (pairs.jaccard <= 1)).all()
         assert (pairs.doc_a < pairs.doc_b).all()
+
+
+def test_ann_multiprobe_recall_dominates_single_probe(spark):
+    """Multiprobe scans the single-probe bucket plus margin-ordered neighbor
+    buckets: its top-k must be at least as good rank-for-rank, and its
+    candidate set contains the single-probe results."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    one = X.ann_lsh(ed, qvec, k=10, n_probes=1).toPandas()
+    multi = X.ann_lsh(ed, qvec, k=10, n_probes=4).toPandas()
+    assert multi.iloc[0].vec_id == 0
+    for r in range(min(len(one), len(multi))):
+        assert multi.iloc[r].cosine >= one.iloc[r].cosine - 1e-12
