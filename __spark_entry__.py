@@ -404,7 +404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pandas frames, so serialize it to JSON here (the library keeps
         # returning real arrays).
         n = min(_docs(spark, sf).count(), 1500)
-        store = build_store(extract_spans(corpus_parquet(spark, n)))
+        # cache: two search modes x two branches each would otherwise re-run
+        # the whole extraction lineage four times
+        store = build_store(extract_spans(corpus_parquet(spark, n))).cache()
         a = search_with_previews(store, "spark join").withColumn("mode", F.lit("or"))
         b = search_with_previews(store, "data table", exact_match=True).withColumn(
             "mode", F.lit("exact")

@@ -74,14 +74,24 @@ _RESULT_SCHEMA = T.StructType(
 )
 
 
-def search_with_previews(store: DataFrame, query: str, exact_match: bool = False) -> DataFrame:
+def search_with_previews(
+    store: DataFrame,
+    query: str,
+    exact_match: bool = False,
+    state: str | None = None,
+    uid: str | None = None,
+    realm: dict[str, str] | None = None,
+) -> DataFrame:
     """The complete search flow (file_searcher.py:195-357): retrieval ->
     rollup -> F10 -> P7 -> W1/W2 previews (pandas kernel, F8 filename-tag
-    strip first) -> F11 preview boost -> O1 top-200.
+    strip first) -> F11 preview boost -> O1 top-200.  Tenant filters
+    (P4: state/uid/realm) apply before retrieval, mirroring
+    file_searcher.py:236,258,265.
 
     Exact mode additionally requires a non-empty preview (file_searcher.py:346).
     """
     query__ = query.strip().lower()
+    store = S.filter_tenant(store, state, uid, realm)
     rows = S.match_query_rows(store, query, exact_match)
     if rows is None:
         return store.sparkSession.createDataFrame([], _RESULT_SCHEMA)
@@ -141,7 +151,12 @@ _PAGE_PREVIEW_SCHEMA = T.StructType(
 
 
 def preview_docs(
-    store: DataFrame, query: str, doc_ids: list[str], state: str = "Publish"
+    store: DataFrame,
+    query: str,
+    doc_ids: list[str],
+    state: str = "Publish",
+    uid: str | None = None,
+    realm: dict[str, str] | None = None,
 ) -> DataFrame:
     """The /user/search_preview flow (W3 + P9 + F8 + O3):
     fetch rows for the requested docs (+state filter, P4), strip the
@@ -155,8 +170,8 @@ def preview_docs(
     the LOWERCASED file name (file_preview.py:168: file_name.lower()).
     """
     query__ = query.lower()
-    rows = store.filter(
-        (F.col("state") == state) & F.col("document_id").isin(doc_ids)
+    rows = S.filter_tenant(store, state=state, uid=uid, realm=realm).filter(
+        F.col("document_id").isin(doc_ids)
     ).select("document_id", "document_name", "page_no", "text")
 
     def per_page(pdf: pd.DataFrame) -> pd.DataFrame:

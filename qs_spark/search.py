@@ -330,6 +330,11 @@ def bm25l_phrase(store: DataFrame, terms: list[str], k1=1.2, b=0.75, delta=0.5) 
         ((F.length(toks) - F.length(F.replace(toks, F.lit(phrase), F.lit(" ")))) /
          (F.length(F.lit(phrase)) - 1)).cast("int"),
     )
+    # cache the slim per-row stats projection before branching: the corpus
+    # stats (N, avdl, df) and the hit rows both derive from it, and without a
+    # materialization barrier each branch would re-scan AND re-tokenize the
+    # whole store (same plan-audit finding as score_per_file)
+    df = df.select("row_id", "document_name", "page_no", "dl", "tf").cache()
     stats = df.agg(
         F.count("*").alias("n_rows"),
         F.avg("dl").alias("avdl"),
