@@ -219,10 +219,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q13(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         o = spark.read.parquet(f"{sf}/orders.parquet").filter(F.col("o_totalprice") > 100000)
+        # price summed in exact integer cents (2-decimal inputs), then one
+        # deterministic /100.0 — order-independent, hash-stable across engines
+        cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
         return (
             li.join(F.broadcast(o.select("o_orderkey")), li.l_orderkey == o.o_orderkey, "left_semi")
             .groupBy("l_orderkey")
-            .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+            .agg(F.count("*").alias("n_lines"), (F.sum(cents) / 100.0).alias("sum_price"))
         )
 
     q["q13_semi_join"] = q13
@@ -257,7 +260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("r_name")
-            .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).alias("revenue"),
+            )
         )
 
     q["q16_region_revenue"] = q16
@@ -270,12 +276,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
             ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("long")).alias("sum_value_e6"),
+            )
             .select(
                 F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
                 "event_type",
                 "n_events",
-                "sum_value",
+                "sum_value_e6",
             )
         )
 
@@ -653,8 +662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o = spark.read.parquet(f"{sf}/orders.parquet").filter(
             F.col("o_totalprice") > 100000
         ).select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+        cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
         return X.salted_join(li, o, "l_orderkey").groupBy("l_orderkey").agg(
-            F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s")
+            F.count("*").alias("n"), (F.sum(cents) / 100.0).alias("s")
         )
 
     q["q56_salted_join"] = x56
@@ -821,7 +831,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q13_semi_join"] = (
-        "SELECT l_orderkey, count(*) AS n_lines, round(sum(l_extendedprice), 2) AS sum_price"
+        "SELECT l_orderkey, count(*) AS n_lines,"
+        " CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " / 100.0 AS sum_price"
         " FROM lineitem WHERE l_orderkey IN"
         " (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)"
         " GROUP BY l_orderkey"
@@ -836,7 +848,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["q16_region_revenue"] = (
-        "SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue"
+        "SELECT r_name, count(*) AS n_orders,"
+        " CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " / 100.0 AS revenue"
         " FROM orders JOIN customer ON o_custkey = c_custkey"
         " JOIN nation ON c_nationkey = n_nationkey"
         " JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
@@ -844,7 +858,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["q18_events_hourly"] = (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,"
-        " event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value"
+        " event_type, count(*) AS n_events,"
+        " CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e6"
         " FROM events GROUP BY 1, 2"
     )
 
@@ -1045,7 +1060,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["q56_salted_join"] = (
-        "SELECT l_orderkey, count(*) AS n, round(sum(l_extendedprice), 2) AS s"
+        "SELECT l_orderkey, count(*) AS n,"
+        " CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " / 100.0 AS s"
         " FROM lineitem JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000) o"
         " ON l_orderkey = o_orderkey GROUP BY l_orderkey"
     )
