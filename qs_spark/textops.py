@@ -11,9 +11,13 @@ Scale notes per op:
   - exact dedup: single hash-aggregate shuffle on the 60-bit fingerprint.
   - MinHash/LSH: shingle explode -> K min-aggregates -> band buckets; the
     pair join is bucket-local (skew-bounded by band width), never all-pairs.
-  - SimHash: per-token hash bits weighted-summed in one aggregate.
+  - SimHash: per-token hash bits weighted-summed in one aggregate; near-dup
+    pairs via hamming-k pigeonhole bit-bands (lossless bucket-local join).
+  - Jaccard pairs: candidates from MinHash-LSH banding, exact Jaccard only
+    on candidates — never group-quadratic.
   - ANN: brute-force cosine is one scan + top-k (exact baseline); the LSH
-    variant buckets by hyperplane signs so each probe touches ~N/2^H vectors.
+    variant buckets by hyperplane signs so each probe touches ~N/2^H vectors;
+    multiprobe flips lowest-margin bits first to recover recall.
 """
 
 from __future__ import annotations
@@ -318,6 +322,99 @@ def ann_lsh(
         .select("vec_id", F.round(cosine_col("embedding", qvec), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
+    )
+
+
+def ivf_index(embeddings: DataFrame, nlist: int = 16, vec_col: str = "embedding"):
+    """IVF coarse quantizer: k-means cells over the embedding space
+    (pyspark.ml KMeans, fixed seed -> deterministic).  Returns
+    (assigned_df with a `_cell` column, centers as list[list[float]]).
+
+    The assigned table is the INDEX — build once, write partitioned by
+    `_cell` (Iceberg `bucket`/identity partitioning), and every query scans
+    only its probed cells.  Train on a sample at 100 TB (k-means cost is
+    per-row; the assignment pass is one scan)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = embeddings.withColumn("_v", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=nlist, seed=7, featuresCol="_v", predictionCol="_cell").fit(df)
+    assigned = model.transform(df).drop("_v")
+    return assigned, [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ann_ivf_search(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank the nprobe cells whose centroids are nearest the
+    query (driver-side — nlist floats), scan only those cells, exact-rank
+    inside.  Recall grows with nprobe; nprobe=nlist degenerates to brute
+    force."""
+    dists = [
+        sum((c - q) ** 2 for c, q in zip(center, qvec)) for center in centers
+    ]
+    probes = sorted(range(len(centers)), key=lambda i: dists[i])[: max(1, nprobe)]
+    return (
+        assigned.filter(F.col("_cell").isin(probes))
+        .select("vec_id", F.round(cosine_col(vec_col, qvec), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.85,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """GLOBAL embedding near-dup pairs — the scale path for pairwise cosine:
+    L hash tables of hyperplane sign-signatures; candidates = pairs sharing a
+    full signature in ANY table (bucket-local join, never all-pairs); each
+    candidate verified by exact cosine >= threshold.  Precision exact, recall
+    = 1-(1-p^n)^L with p = 1 - theta/pi (standard SimHash-for-cosine bound);
+    raise n_tables for recall, n_planes for precision of the buckets."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    sig_structs = []
+    for t in range(n_tables):
+        bits = None
+        for i in range(n_planes):
+            pl = F.array(*[F.lit(x) for x in _hyperplane(t * n_planes + i + 1, dim)])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), pl, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        sig_structs.append(F.struct(F.lit(t).alias("table"), bits.alias("sig")))
+    b = embeddings.select(
+        "vec_id", vec_col, F.explode(F.array(*sig_structs)).alias("ts")
+    ).select("vec_id", vec_col, F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(F.aggregate(F.col(f"a.{vec_col}"), F.lit(0.0), lambda a, x: a + x * x))
+    n2 = F.sqrt(F.aggregate(F.col(f"b.{vec_col}"), F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        b.alias("a")
+        .join(b.alias("b"), ["table", "sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (n1 * n2), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()  # a pair can collide in several tables
     )
 
 

@@ -152,3 +152,44 @@ def test_ann_multiprobe_recall_dominates_single_probe(spark):
     assert multi.iloc[0].vec_id == 0
     for r in range(min(len(one), len(multi))):
         assert multi.iloc[r].cosine >= one.iloc[r].cosine - 1e-12
+
+
+def test_ann_ivf_probe_contains_query_and_exact_cosines(spark):
+    """IVF: the query vector's own cell is always the nearest-centroid probe,
+    so vec 0 (the query) must rank first; all returned cosines must equal the
+    brute-force values (same formula, subset scan)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    assigned, centers = X.ivf_index(ed, nlist=8)
+    got = X.ann_ivf_search(assigned, centers, qvec, k=10, nprobe=2).toPandas()
+    assert got.iloc[0].vec_id == 0 and abs(got.iloc[0].cosine - 1.0) < 1e-6
+    bf = X.ann_bruteforce(ed, qvec, k=2000).toPandas().set_index("vec_id")["cosine"]
+    for _, r in got.iterrows():
+        assert abs(bf[r.vec_id] - r.cosine) < 1e-9
+    # more probes -> recall (top-k quality) never degrades
+    wide = X.ann_ivf_search(assigned, centers, qvec, k=10, nprobe=8).toPandas()
+    for r in range(min(len(got), len(wide))):
+        assert wide.iloc[r].cosine >= got.iloc[r].cosine - 1e-12
+
+
+def test_embedding_near_dup_lsh_precision_exact(spark):
+    """LSH-bucketed embedding near-dup: every returned pair must be a TRUE
+    pair (cosine >= threshold, verified against direct computation); with a
+    planted exact duplicate, the dup pair must be found (identical vectors
+    share every signature)."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    dup = ed.filter(F.col("vec_id") == 3).select(
+        F.lit(900001).alias("vec_id"), "label", "embedding"
+    )
+    planted = ed.select("vec_id", "label", "embedding").unionByName(dup)
+    got = X.embedding_near_dup_lsh(planted, threshold=0.9).toPandas()
+    assert ((got.vec_a == 3) & (got.vec_b == 900001)).any()
+    vecs = {r.vec_id: np.array(r.embedding) for r in planted.collect()}
+    for _, r in got.iterrows():
+        a, b = vecs[r.vec_a], vecs[r.vec_b]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r.cosine) < 1e-5 and cos >= 0.9 - 1e-9
