@@ -463,6 +463,34 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+    SIGMOD'03 / MOSS): hash every k-char gram of the normalized text, slide a
+    w-hash window, keep each window's minimum — the classic near-copy
+    fingerprint whose selected hashes are stable under local edits.
+
+    All JVM-side: Column.substr with column offsets for the grams, xxhash64
+    per gram, slice+array_min per window, array_distinct for the set.  Cost
+    is O(n*w) expression work per doc — acceptable because n is chars of ONE
+    document (row-local, embarrassingly parallel); no shuffle.  Downstream
+    containment/overlap joins explode the fingerprint column and reuse the
+    same bucket-join shapes as MinHash-LSH."""
+    txt = norm_text()
+    n = F.length(txt)
+    m = F.greatest(n - (k - 1), F.lit(1))  # number of k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.xxhash64(txt.substr(i, F.lit(k)))
+    )
+    nw = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(1), nw), lambda j: F.array_min(F.slice(grams, j, w))
+    )
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(minima)).alias("fingerprints"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: distinct-English-marker hit count over the token
     set -> 'en' iff >= 3 distinct markers present (n-gram/stopword heuristic;

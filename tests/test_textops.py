@@ -193,3 +193,22 @@ def test_embedding_near_dup_lsh_precision_exact(spark):
         a, b = vecs[r.vec_a], vecs[r.vec_b]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(cos - r.cosine) < 1e-5 and cos >= 0.9 - 1e-9
+
+
+def test_winnow_fingerprint_stable_under_local_edit(spark):
+    """Winnowing guarantees: identical docs -> identical fingerprint sets;
+    a doc sharing a long substring shares a large fraction of fingerprints;
+    disjoint text shares (almost) none."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate
+        (3, "PREFIX EDIT " + base + " SUFFIX EDIT"),  # local edits
+        (4, "zxqv " * 80),  # unrelated
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = {r.doc_id: set(r.fingerprints) for r in X.winnow_fingerprint(d).collect()}
+    assert fp[1] == fp[2]
+    inter = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
+    assert inter > 0.5
+    assert len(fp[1] & fp[4]) / len(fp[1]) < 0.05
