@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
-SIMHASH_BITS = 16
+# 32 bits: wide enough that hamming<=k pairs are REAL near-dups (16 bits
+# made most pairs hash noise) and that pigeonhole bands carry 6-7 bits each
+# (64-128 bucket values per band — bucket-join fan-out stays bounded as the
+# corpus grows); still cheap as 32 JVM-side sum aggregates and fully
+# reproducible in the DuckDB oracle's BIGINT arithmetic
+SIMHASH_BITS = 32
 
 
 def h60(col):

@@ -126,3 +126,69 @@ def test_windowed_event_counts_batch(spark):
     out = windowed_event_counts(ev, "1 hour").toPandas()
     assert out["n_events"].sum() == ev.count()
     assert (out.groupby(["window_start", "event_type"]).size() == 1).all()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermarked windowed agg: an event arriving after the watermark passed
+    its window's END must be dropped from the finalized append-mode result.
+    Run as three availableNow restarts over one checkpoint, so the watermark
+    is also proven to survive recovery (the production restart path).  The
+    in-window late case (window still open) is Spark-accepted by design."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from qs_spark.streaming import windowed_event_counts
+
+    src = tmp_path / "ev_stream"
+    src.mkdir()
+    out_dir = str(tmp_path / "out")
+
+    def write_file(name, rows):
+        pd.DataFrame(rows, columns=["ts", "event_type", "value"]).astype(
+            {"ts": "datetime64[us]"}
+        ).to_parquet(src / name, index=False)
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            windowed_event_counts(stream, "1 hour", watermark="30 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: window [10:00,11:00) gets 2 events; max ts 11:40 -> watermark
+    # checkpointed at 11:10, PAST that window's end
+    write_file("a.parquet", [
+        ("2026-01-01 10:00:00", "click", 1.0),
+        ("2026-01-01 10:20:00", "click", 1.0),
+        ("2026-01-01 11:40:00", "click", 1.0),
+    ])
+    run_once()
+    # run 2 (restart): a 10:10 event whose window END (11:00) < restored
+    # watermark (11:10) — Spark's late-data rule drops exactly this case
+    write_file("b.parquet", [
+        ("2026-01-01 12:30:00", "click", 1.0),
+        ("2026-01-01 10:10:00", "click", 99.0),  # LATE
+    ])
+    run_once()
+    # run 3: pushes the watermark past every earlier window so all emit
+    write_file("c.parquet", [("2026-01-01 15:00:00", "click", 1.0)])
+    run_once()
+
+    out = spark.read.parquet(out_dir).toPandas()
+    w10 = out[out.window_start.astype(str).str.contains("10:00:00")]
+    assert len(w10) == 1
+    # 2 on-time events; the late 99.0-valued event was dropped by the watermark
+    assert int(w10.iloc[0].n_events) == 2
+    assert abs(float(w10.iloc[0].sum_value) - 2.0) < 1e-9
