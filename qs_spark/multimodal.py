@@ -3,11 +3,13 @@
 The training-data-pipeline view of media (round requirement): media payloads
 travel as `binary` columns with typed metadata; decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas kernels over mapInPandas.
-The image/audio libraries are not in this container, so the DECODE step is
-stubbed — `QS_FAKE_DECODE=1` (default here) swaps in a deterministic fake
-decoder keyed by the payload hash so the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested end-to-end;
-with real libs you implement `_decode_real` and flip the env.
+Decode is REAL for formats the stdlib can parse — WAV (wave module, 16-bit
+PCM) and 24-bit BMP (struct) — so the decode->featurize path is exercised on
+true containers end-to-end.  Codec-bound formats (jpeg/png/mp4) need PIL/av,
+which this container lacks: they use a deterministic digest-seeded stub
+(`QS_FAKE_DECODE=1`, the default) keyed by the payload hash, keeping the
+Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
+identical; with real libs you extend `_decode_real` and flip the env.
 
 Media table schema:
   media_ref string, mime string, payload binary,
@@ -55,9 +57,58 @@ def fake_decode_enabled() -> bool:
     return os.environ.get("QS_FAKE_DECODE", "1") == "1"
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL WAV decode (stdlib wave + numpy — no external codec needed):
+    PCM frames -> uint8 amplitude stream (16-bit samples mapped to their
+    high byte, biased to unsigned, so the histogram featurizer sees true
+    signal shape)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        raw = w.readframes(w.getnframes())
+        width = w.getsampwidth()
+    if width == 1:
+        return np.frombuffer(raw, dtype=np.uint8)
+    if width == 2:
+        s = np.frombuffer(raw, dtype="<i2")
+        return ((s.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    raise NotImplementedError(f"wav sample width {width}")
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL BMP decode (pure struct parsing): 24-bit uncompressed pixels ->
+    flat uint8 BGR stream (row padding stripped)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"bmp bpp={bpp} compression={comp}")
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = [
+        np.frombuffer(payload, dtype=np.uint8, count=row_bytes, offset=pixel_off + r * stride)
+        for r in range(abs(height))
+    ]
+    return np.concatenate(rows) if rows else np.zeros(0, dtype=np.uint8)
+
+
 def _decode_real(payload: bytes, mime: str) -> np.ndarray:
+    """Real decoders for container formats parseable with the stdlib; the
+    codec-dependent formats (jpeg/png/mp4) need PIL/av, which this container
+    lacks — those fall back to the deterministic stub (or raise when
+    QS_FAKE_DECODE=0)."""
+    if mime == "audio/wav":
+        return decode_wav(payload)
+    if mime == "image/bmp":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "real media decode requires PIL/av/soundfile — not in this container; "
+        f"real decode of {mime} requires PIL/av — not in this container; "
         "set QS_FAKE_DECODE=1 for the deterministic stub"
     )
 
@@ -72,31 +123,89 @@ def _decode_fake(payload: bytes, mime: str) -> np.ndarray:
 
 
 def _decode(payload: bytes, mime: str) -> np.ndarray:
+    """Dispatch: real decode wherever a stdlib parser exists (wav/bmp —
+    ALWAYS real, the flag doesn't fake what can be decoded honestly);
+    codec-bound formats use the stub unless QS_FAKE_DECODE=0."""
+    if mime in ("audio/wav", "image/bmp"):
+        return _decode_real(payload, mime)
     return _decode_fake(payload, mime) if fake_decode_enabled() else _decode_real(payload, mime)
 
 
 # ---------------------------------------------------------------- corpus
 
 
+def _synth_wav(i: int, sample_rate: int = 16000) -> tuple[bytes, int]:
+    """Deterministic REAL WAV container: 16-bit PCM sine-ish signal whose
+    frequency/length derive from i.  Returns (payload, duration_ms)."""
+    import io
+    import wave
+
+    n_samples = sample_rate // 8 + (i % 7) * 256  # ~125-240 ms
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 110.0 * (1 + i % 12)
+    sig = (np.sin(2 * np.pi * freq * t / sample_rate) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(sig.tobytes())
+    return buf.getvalue(), int(n_samples * 1000 / sample_rate)
+
+
+def _synth_bmp(i: int) -> tuple[bytes, int, int]:
+    """Deterministic REAL 24-bit BMP: gradient pixels keyed by i.
+    Returns (payload, width, height)."""
+    import struct
+
+    width, height = 16 + (i % 5) * 4, 4 + (i % 6)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    px = bytearray()
+    for r in range(height):
+        row = bytes(
+            ((r * 31 + c * 7 + i) % 256) for c in range(row_bytes)
+        )
+        px += row + b"\x00" * (stride - row_bytes)
+    size = 14 + 40 + len(px)
+    header = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return header + info + bytes(px), width, height
+
+
 def synth_media_df(spark: SparkSession, n: int) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
+    """Deterministic synthetic media table.  wav/bmp payloads are REAL
+    containers (decoded by the real stdlib parsers); png/mp4 are seeded
+    opaque bytes exercising the stub path."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_ref": [], "mime": [], "payload": [], "meta": []}
             for i in pdf["id"]:
                 i = int(i)
-                mime = ["image/png", "image/jpeg", "audio/wav", "video/mp4"][i % 4]
-                payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 13)
+                mime = ["image/png", "image/bmp", "audio/wav", "video/mp4"][i % 4]
+                width = height = duration_ms = sample_rate = None
+                if mime == "audio/wav":
+                    payload, duration_ms = _synth_wav(i)
+                    sample_rate = 16000
+                elif mime == "image/bmp":
+                    payload, width, height = _synth_bmp(i)
+                else:
+                    payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 13)
+                    if mime.startswith(("image", "video")):
+                        width = 64 + (i % 32) * 16
+                        height = 64 + (i % 24) * 16
+                    if mime.startswith(("audio", "video")):
+                        duration_ms = 1000 + (i % 100) * 250
                 rows["media_ref"].append(f"media://synth/{i}")
                 rows["mime"].append(mime)
                 rows["payload"].append(payload)
                 rows["meta"].append(
                     {
-                        "width": 64 + (i % 32) * 16 if mime.startswith(("image", "video")) else None,
-                        "height": 64 + (i % 24) * 16 if mime.startswith(("image", "video")) else None,
-                        "duration_ms": 1000 + (i % 100) * 250 if mime.startswith(("audio", "video")) else None,
-                        "sample_rate": 16000 if mime.startswith("audio") else None,
+                        "width": width,
+                        "height": height,
+                        "duration_ms": duration_ms,
+                        "sample_rate": sample_rate,
                     }
                 )
             yield pd.DataFrame(rows)

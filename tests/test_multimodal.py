@@ -57,3 +57,47 @@ def test_media_features_feed_ann(spark):
     top = X.ann_bruteforce(feats, qvec, k=3).toPandas()
     assert len(top) == 3
     assert abs(top.iloc[0].cosine - 1.0) < 1e-6
+
+
+def test_real_wav_decode_roundtrip():
+    # decode_wav must recover the actual PCM signal from the real container
+    import numpy as np
+
+    from qs_spark.multimodal import _synth_wav, decode_wav
+
+    payload, dur_ms = _synth_wav(5)
+    samples = decode_wav(payload)
+    assert len(samples) == int(16000 * dur_ms / 1000)
+    # a sine sweeps the amplitude range: decoded bytes must not be constant
+    assert samples.dtype == np.uint8 and samples.std() > 10
+
+
+def test_real_bmp_decode_roundtrip():
+    from qs_spark.multimodal import _synth_bmp, decode_bmp
+
+    payload, w, h = _synth_bmp(3)
+    px = decode_bmp(payload)
+    assert len(px) == w * h * 3  # padding stripped
+    # gradient formula reproduced for the first row
+    assert list(px[:6]) == [(0 * 31 + c * 7 + 3) % 256 for c in range(6)]
+
+
+def test_features_use_real_decode_for_wav_bmp(spark):
+    # flipping the fake-decode env must NOT change wav/bmp features (they
+    # are always real-decoded), proving the honest path is what runs
+    import os
+
+    from qs_spark.multimodal import extract_features, synth_media_df
+
+    m = synth_media_df(spark, 32).filter(
+        F.col("mime").isin("audio/wav", "image/bmp")
+    )
+    a = extract_features(m).toPandas().sort_values("media_ref").reset_index(drop=True)
+    os.environ["QS_FAKE_DECODE"] = "0"
+    try:
+        b = extract_features(m).toPandas().sort_values("media_ref").reset_index(drop=True)
+    finally:
+        os.environ["QS_FAKE_DECODE"] = "1"
+    assert len(a) == 16
+    for x, y in zip(a["embedding"], b["embedding"]):
+        assert list(x) == list(y)
