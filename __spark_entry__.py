@@ -981,14 +981,31 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
 
+    lang_lists = {
+        lang: "['" + "','".join(ms) + "']" for lang, ms in X._LANG_MARKERS.items()
+    }
+    langs = list(X._LANG_MARKERS)
+    hit_exprs = ", ".join(
+        f"len(list_intersect(tk, {lang_lists[lang]})) AS hits_{lang}" for lang in langs
+    )
+    pred_cases = " ".join(
+        "WHEN hits_{l} >= 3{ands} THEN '{l}'".format(
+            l=lang,
+            ands="".join(
+                f" AND hits_{lang} >= hits_{later}" for later in langs[i + 1 :]
+            ),
+        )
+        for i, lang in enumerate(langs)
+    )
     o["q26_lang_id"] = f"""
-        SELECT doc_id,
-               len(list_intersect(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
-                                  {markers_sql})) AS marker_hits,
-               CASE WHEN len(list_intersect(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
-                                            {markers_sql})) >= 3
-                    THEN 'en' ELSE 'other' END AS lang_pred
-        FROM documents
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS tk
+          FROM documents),
+        h AS (SELECT doc_id, {hit_exprs} FROM t)
+        SELECT doc_id, {', '.join('hits_' + lang for lang in langs)},
+               CASE {pred_cases} ELSE 'other' END AS lang_pred
+        FROM h
     """
 
     o["q27_fingerprint"] = (

@@ -427,6 +427,15 @@ def embedding_near_dup_lsh(
 
 _EN_MARKERS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
 
+# per-language stopword marker sets (top function words; the classic cheap
+# lang-id signal).  Order = deterministic tie-break priority.
+_LANG_MARKERS = {
+    "en": _EN_MARKERS,
+    "es": ["el", "la", "de", "que", "y", "los", "se", "por", "con", "una"],
+    "fr": ["le", "les", "des", "et", "une", "du", "est", "dans", "qui", "pour"],
+    "de": ["der", "die", "und", "das", "nicht", "ein", "zu", "ist", "den", "von"],
+}
+
 
 def text_quality(docs: DataFrame) -> DataFrame:
     """Quality scoring: length, token stats, punctuation ratio, stopword-ish
@@ -497,13 +506,27 @@ def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Heuristic language ID: distinct-English-marker hit count over the token
-    set -> 'en' iff >= 3 distinct markers present (n-gram/stopword heuristic;
-    a real model would slot into the same column contract)."""
+    """Heuristic language ID over per-language stopword-marker sets: count
+    DISTINCT marker hits per language, predict the argmax (ties broken by
+    the fixed _LANG_MARKERS order), 'other' when the best language has < 3
+    distinct markers.  The classic cheap n-gram/stopword signal; a real
+    fastText-style model would slot into the same column contract."""
     toks = F.split(norm_text(), " ")
-    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _EN_MARKERS])))
+    hit_cols = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ms])))
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    langs = list(_LANG_MARKERS)
+    pred = F.lit("other")
+    # build the CASE back-to-front so earlier languages win ties
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = hit_cols[lang] >= 3
+        for later in langs[i + 1 :]:
+            cond = cond & (hit_cols[lang] >= hit_cols[later])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return docs.select(
         "doc_id",
-        hits.alias("marker_hits"),
-        F.when(hits >= 3, "en").otherwise("other").alias("lang_pred"),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
     )

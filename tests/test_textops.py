@@ -82,7 +82,21 @@ def test_quality_and_langid_ranges(spark):
     q = X.text_quality(d).toPandas()
     assert ((q.quality >= 0) & (q.quality <= 1)).all()
     li = X.lang_id(d).toPandas()
-    assert set(li.lang_pred.unique()) <= {"en", "other"}
+    assert set(li.lang_pred.unique()) <= set(X._LANG_MARKERS) | {"other"}
+    # multi-language markers: planted non-English docs classify correctly
+    from qs_spark.session import get_spark
+
+    planted = get_spark("t", cores=8).createDataFrame(
+        [
+            (1, "el que la de los se una con por y el que"),
+            (2, "le les des et une du est dans qui pour"),
+            (3, "der die und das ein zu ist den von nicht"),
+            (4, "zzz qqq www"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in X.lang_id(planted).collect()}
+    assert got == {1: "es", 2: "fr", 3: "de", 4: "other"}
 
 
 def test_compute_score_reference_constants():
