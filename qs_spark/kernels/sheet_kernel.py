@@ -114,32 +114,62 @@ def _render(df: pd.DataFrame, lens, hdr) -> str:
     return "\n".join(out_lines)
 
 
-def _formula_check(df: pd.DataFrame):
-    """Enable the closed-form length + fast renderer for all-string frames.
+def _as_string_frame(df: pd.DataFrame) -> pd.DataFrame | None:
+    """Project df to the all-string frame whose cells are EXACTLY what
+    to_string(index=False) would print: pandas' own column formatter
+    (format_array, leading_space=False — the same call
+    DataFrameFormatter._get_strcols_without_index makes) applied once per
+    column.  Validation against real to_string happens in _formula_check, so
+    a pandas-version drift here degrades to the slow path, never to wrong
+    bytes."""
+    if all(dt == object for dt in df.dtypes):
+        return df
+    try:
+        from pandas.io.formats.format import format_array
 
+        cols = {}
+        for i, c in enumerate(df.columns):
+            cols[i] = format_array(df.iloc[:, i]._values, None, leading_space=False)
+        out = pd.DataFrame(cols)
+        out.columns = df.columns
+        return out
+    except Exception:
+        return None
+
+
+def _formula_check(df: pd.DataFrame):
+    """Enable the closed-form length + fast renderer.
+
+    All-string frames use their cells directly; numeric/mixed frames are
+    first projected through pandas' own column formatter (_as_string_frame).
     Validation: render a sample sub-frame (first 64 rows + the row holding
     the globally widest cell, so any pandas truncation/justify surprise is
     in-sample) with _render and require BYTE equality with the real
-    to_string.  Any mismatch -> None -> callers fall back to real to_string
-    probing, so correctness never depends on the formula.
+    to_string OF THE ORIGINAL frame.  Any mismatch -> None -> callers fall
+    back to real to_string probing, so correctness never depends on the
+    formula.
 
-    Returns (cell-length matrix, header lengths) or None.
+    Returns (string frame, cell-length matrix, header lengths) or None.
     """
     import numpy as np
 
-    if df.shape[0] == 0 or not all(dt == object for dt in df.dtypes):
+    if df.shape[0] == 0:
+        return None
+    sdf = _as_string_frame(df)
+    if sdf is None:
         return None
     try:
-        lens = df.map(len).to_numpy(dtype="int64")
+        lens = sdf.map(len).to_numpy(dtype="int64")
     except TypeError:
         return None
     hdr = np.array([len(str(c)) for c in df.columns], dtype="int64")
     widest_row = int(lens.max(axis=1).argmax())
     check_rows = sorted(set(range(min(64, df.shape[0]))) | {widest_row})
-    sub = df.iloc[check_rows]
-    if _render(sub, lens[check_rows], hdr) != sub.to_string(index=False):
+    if _render(sdf.iloc[check_rows], lens[check_rows], hdr) != df.iloc[
+        check_rows
+    ].to_string(index=False):
         return None
-    return lens, hdr
+    return sdf, lens, hdr
 
 
 def chunk_frame(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
@@ -165,7 +195,7 @@ def chunk_frame(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
     if formula is not None:
         import numpy as np
 
-        lens, hdr = formula
+        sdf, lens, hdr = formula
 
         def boundary(a: int) -> int:
             """largest i in [a, n) with formula_len(a..i) < chunk_size, else -1"""
@@ -185,7 +215,7 @@ def chunk_frame(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
                     "reference semantics would loop forever"
                 )
             chunks.append(
-                _render(df.iloc[_row:_p_row_num], lens[_row:_p_row_num], hdr)
+                _render(sdf.iloc[_row:_p_row_num], lens[_row:_p_row_num], hdr)
             )
             _row = _p_row_num + 1
         return chunks
