@@ -139,6 +139,22 @@ def or_search_postings(postings: DataFrame, terms: list[str]) -> DataFrame:
     return postings.join(F.broadcast(term_df), "term", "left_semi").select("row_id").distinct()
 
 
+def and_search_postings(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Postings-table AND retrieval (the reference's and_query on the
+    inverted index): row ids containing EVERY query term = distinct
+    (row_id, term) hits grouped by row_id, kept when the distinct-term count
+    equals len(terms).  Bucket-pruned like the OR path; replaces a chained
+    full-store array_contains scan for exact-match queries."""
+    uniq = sorted(set(terms))
+    hits = postings.filter(F.col("term").isin(uniq)).select("row_id", "term").distinct()
+    return (
+        hits.groupBy("row_id")
+        .agg(F.count("*").alias("_nt"))
+        .filter(F.col("_nt") == len(uniq))
+        .select("row_id")
+    )
+
+
 def dedup_first_per_file(rows: DataFrame) -> DataFrame:
     """A1: one representative row per file.  The reference's $group $first
     takes Mongo natural order; our deterministic equivalent is the earliest
@@ -262,7 +278,16 @@ def match_query_rows(
         words = query_.split()
         if not words:
             return None
-        rows = _match_rows_and(store, words)
+        if postings_path is not None:
+            # AND via the pruned index (reference and_query), then fetch only
+            # the hit rows for the P6 containment check — the store is never
+            # fully scanned for an exact query when an index exists
+            hit_ids = and_search_postings(
+                lookup_postings(store.sparkSession, postings_path, words), words
+            )
+            rows = store.join(hit_ids, "row_id", "left_semi")
+        else:
+            rows = _match_rows_and(store, words)
         return rows.filter(F.contains(F.col("text"), F.lit(query__)))  # P6
     if not terms:
         return None

@@ -143,6 +143,27 @@ def stateful_first_seen(docs_stream, n_buckets: int = 16):
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Gap-based sessionization via the BUILT-IN session_window — dynamic
+    per-key windows that merge while events arrive within `gap`.  Works in
+    batch (tests cross-validate it against the lag+running-sum form, q54)
+    and on a stream with withWatermark, where Spark bounds session state by
+    the watermark — the Structured Streaming native form of the operator."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame, window: str = "1 hour", watermark: str | None = None
 ) -> DataFrame:

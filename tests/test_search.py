@@ -214,3 +214,17 @@ def test_score_per_file_no_single_partition_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan  # n_files is a broadcast scalar now
+
+
+def test_exact_match_postings_path_equals_scan(spark, tmp_path):
+    # AND via the pruned index + P6 on hit rows only == the chained
+    # array_contains full scan
+    st = _store(spark)
+    path = str(tmp_path / "postings")
+    S.write_postings(st, path)
+    scan = S.search_rank(st, "index score", exact_match=True).toPandas()
+    pruned = S.search_rank(
+        st, "index score", exact_match=True, postings_path=path
+    ).toPandas()
+    assert scan.equals(pruned)
+    assert len(scan) > 0  # the phrase occurs in this corpus slice

@@ -192,3 +192,35 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # 2 on-time events; the late 99.0-valued event was dropped by the watermark
     assert int(w10.iloc[0].n_events) == 2
     assert abs(float(w10.iloc[0].sum_value) - 2.0) < 1e-9
+
+
+def test_session_window_matches_lag_based_sessionization(spark):
+    """The built-in session_window must produce exactly the sessions the
+    lag+running-sum form (q54) produces: same session count per user, same
+    per-session event counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qs_spark.streaming import sessionized_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = sessionized_event_counts(ev, gap="30 minutes").toPandas()
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    gap = ep - F.lag(ep).over(w)
+    sess = (
+        ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .toPandas()
+    )
+    # same multiset of (user, n_events) sessions
+    a = sorted(zip(got.user_id, got.n_events))
+    b = sorted(zip(sess.user_id, sess.n_events))
+    assert a == b
