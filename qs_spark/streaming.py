@@ -99,7 +99,7 @@ _FIRST_SEEN_OUT = "doc_id string, fingerprint bigint, bucket int"
 _FIRST_SEEN_STATE = "seen array<bigint>"
 
 
-def stateful_first_seen(docs_stream, n_buckets: int = 16):
+def stateful_first_seen(docs_stream, n_buckets: int = 16, bloom_bits: int | None = None):
     """Custom stateful streaming operator (applyInPandasWithState): streaming
     exact dedup — emit a doc only the FIRST time its content fingerprint is
     seen, with the seen-set held in partitioned operator state that survives
@@ -107,10 +107,16 @@ def stateful_first_seen(docs_stream, n_buckets: int = 16):
 
     The reference's analog is the version-exists skip applied per upload
     event (file_upload.py:85-95) — here as a continuous operator.  Keying by
-    fingerprint bucket spreads state across partitions; at 100 TB you'd swap
-    the exact seen-array for a bloom filter per bucket (same state shape,
-    bounded size).
-    """
+    fingerprint bucket spreads state across partitions.
+
+    bloom_bits: the 100 TB state shape — instead of the exact seen-set
+    (state grows with distinct docs), hold a per-bucket bloom filter of
+    `bloom_bits` bits packed into int64 words (STATE SIZE IS CONSTANT).
+    Two index functions by double hashing the 64-bit fingerprint, k=4 probes.
+    Guarantee flips from exact to one-sided: duplicates are ALWAYS
+    suppressed; a new doc may be falsely suppressed with the standard bloom
+    FP rate (size bloom_bits >= ~10 bits per expected distinct doc per
+    bucket for <1% FP)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     keyed = docs_stream.select(
@@ -120,7 +126,7 @@ def stateful_first_seen(docs_stream, n_buckets: int = 16):
         ),
     ).withColumn("bucket", F.pmod(F.col("fingerprint"), F.lit(n_buckets)).cast("int"))
 
-    def dedup_fn(key, pdf_iter, state):
+    def dedup_exact_fn(key, pdf_iter, state):
         seen = set(state.get[0]) if state.exists else set()
         out = []
         for pdf in pdf_iter:
@@ -134,8 +140,37 @@ def stateful_first_seen(docs_stream, n_buckets: int = 16):
 
         yield pd.DataFrame(out, columns=["doc_id", "fingerprint", "bucket"])
 
+    n_words = ((bloom_bits or 0) + 63) // 64
+
+    def dedup_bloom_fn(key, pdf_iter, state):
+        # state words are signed int64; hash/probe in unsigned space
+        words = (
+            [int(w) & 0xFFFFFFFFFFFFFFFF for w in state.get[0]]
+            if state.exists
+            else [0] * n_words
+        )
+        out = []
+        for pdf in pdf_iter:
+            for did, fp in zip(pdf["doc_id"], pdf["fingerprint"]):
+                fp = int(fp)
+                ufp = fp & 0xFFFFFFFFFFFFFFFF
+                h1, h2 = ufp & 0xFFFFFFFF, (ufp >> 32) | 1  # odd second hash
+                idxs = [((h1 + k * h2) % bloom_bits) for k in range(4)]
+                if all((words[i >> 6] >> (i & 63)) & 1 for i in idxs):
+                    continue  # (probably) seen
+                for i in idxs:
+                    words[i >> 6] |= 1 << (i & 63)
+                out.append((did, fp, key[0]))
+        state.update(
+            ([w - (1 << 64) if w >= 1 << 63 else w for w in words],)
+        )
+        import pandas as pd
+
+        yield pd.DataFrame(out, columns=["doc_id", "fingerprint", "bucket"])
+
+    fn = dedup_bloom_fn if bloom_bits else dedup_exact_fn
     return keyed.groupBy("bucket").applyInPandasWithState(
-        dedup_fn,
+        fn,
         outputStructType=_FIRST_SEEN_OUT,
         stateStructType=_FIRST_SEEN_STATE,
         outputMode="update",
