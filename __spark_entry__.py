@@ -312,8 +312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q22_simhash"] = q22
 
     def q23(spark, sf):
-        d = _docs(spark, sf).filter(F.col("source") == "src0")
-        return X.ngram_jaccard_pairs(d)
+        # GLOBAL (the r01 src0 filter only bounded the old all-pairs cost;
+        # LSH-prefiltered candidates are bucket-local and scale-safe)
+        return X.ngram_jaccard_pairs(_docs(spark, sf))
 
     q["q23_ngram_jaccard"] = q23
 
@@ -926,8 +927,7 @@ def oracle_sql() -> dict[str, str]:
     # q21 (restricted to src0), exact Jaccard computed only for candidates —
     # mirrors the Spark scale path exactly (textops.ngram_jaccard_pairs)
     o["q23_ngram_jaccard"] = f"""
-        WITH d AS (SELECT * FROM documents WHERE source = 'src0'),
-        toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM d),
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
         sh AS (SELECT DISTINCT doc_id, sh FROM (
           SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks)),
         h AS ({_H12_SQL}),

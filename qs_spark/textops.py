@@ -116,8 +116,15 @@ def lsh_buckets(sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> 
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Near-dup candidates: pairs sharing any band bucket."""
-    b = lsh_buckets(minhash_signatures(docs))
+    """Near-dup candidates: pairs sharing any band bucket.
+
+    The bucket table is CACHED before the self-join: plan audit showed the
+    self-join does NOT reuse the aggregate exchange, so without the barrier
+    the whole shingle->md5->16-min-agg pipeline (the expensive part, reading
+    every document's full text) executes twice.  The cached set is slim —
+    LSH_BANDS rows of (doc_id, band, bucket-hash) per doc — and spills to
+    disk under pressure."""
+    b = lsh_buckets(minhash_signatures(docs)).cache()
     left = b.alias("l")
     right = b.alias("r")
     return (
