@@ -430,6 +430,46 @@ def embedding_near_dup_lsh(
     )
 
 
+# ---------- corpus statistics (exact + sketch scale paths) ----------
+
+
+def percentiles_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs=(0.5, 0.95),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group percentiles.  exact=True uses Spark's percentile (collects
+    every group value into the aggregation buffer — fine up to millions of
+    rows per group, the oracle-parity mode).  exact=False is the 100 TB
+    path: approx_percentile's t-digest-style sketch, constant memory per
+    group, rank error <= 1/accuracy."""
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    aggs = [
+        F.expr(f"{fn}({value_col}, {q}{acc})").alias(f"p{int(q * 100)}") for q in qs
+    ]
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def vocab_per_group(
+    df: DataFrame, group_col: str, text_col: str = "text", exact: bool = True, rsd: float = 0.02
+) -> DataFrame:
+    """Per-group distinct-token count.  exact=True shuffles every distinct
+    (group, term) pair (the oracle-parity mode); exact=False is the 100 TB
+    path: HyperLogLog++ via approx_count_distinct — one pass, constant
+    memory, relative error ~rsd, no distinct shuffle."""
+    terms = df.select(
+        group_col, F.explode(F.split(F.lower(text_col), " ")).alias("term")
+    )
+    agg = (
+        F.countDistinct("term") if exact else F.approx_count_distinct("term", rsd)
+    ).alias("vocab_size")
+    return terms.groupBy(group_col).agg(agg)
+
+
 # ---------- text analysis ----------
 
 _EN_MARKERS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]

@@ -226,3 +226,18 @@ def test_winnow_fingerprint_stable_under_local_edit(spark):
     inter = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
     assert inter > 0.5
     assert len(fp[1] & fp[4]) / len(fp[1]) < 0.05
+
+
+def test_sketch_stats_within_tolerance_of_exact(spark):
+    """The 100 TB sketch paths (approx_percentile t-digest, HLL++ distinct)
+    must track their exact counterparts within documented error bounds."""
+    d = _docs(spark)
+    pe = X.percentiles_per_group(d, "source", "n_chars", exact=True).toPandas().set_index("source")
+    pa = X.percentiles_per_group(d, "source", "n_chars", exact=False).toPandas().set_index("source")
+    for src in pe.index:
+        for c in ("p50", "p95"):
+            assert abs(pe.loc[src, c] - pa.loc[src, c]) <= 0.1 * max(pe.loc[src, c], 1)
+    ve = X.vocab_per_group(d, "source", exact=True).toPandas().set_index("source")
+    va = X.vocab_per_group(d, "source", exact=False).toPandas().set_index("source")
+    for src in ve.index:
+        assert abs(ve.loc[src, "vocab_size"] - va.loc[src, "vocab_size"]) <= 0.1 * ve.loc[src, "vocab_size"]
