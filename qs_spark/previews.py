@@ -81,6 +81,7 @@ def search_with_previews(
     state: str | None = None,
     uid: str | None = None,
     realm: dict[str, str] | None = None,
+    postings_path: str | None = None,
 ) -> DataFrame:
     """The complete search flow (file_searcher.py:195-357): retrieval ->
     rollup -> F10 -> P7 -> W1/W2 previews (pandas kernel, F8 filename-tag
@@ -92,7 +93,7 @@ def search_with_previews(
     """
     query__ = query.strip().lower()
     store = S.filter_tenant(store, state, uid, realm)
-    rows = S.match_query_rows(store, query, exact_match)
+    rows = S.match_query_rows(store, query, exact_match, postings_path)
     if rows is None:
         return store.sparkSession.createDataFrame([], _RESULT_SCHEMA)
 

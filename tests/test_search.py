@@ -228,3 +228,14 @@ def test_exact_match_postings_path_equals_scan(spark, tmp_path):
     ).toPandas()
     assert scan.equals(pruned)
     assert len(scan) > 0  # the phrase occurs in this corpus slice
+
+
+def test_preview_search_postings_path_equals_scan(spark, tmp_path):
+    # the full preview flow through the index must match the scan flow
+    st = _store(spark)
+    path = str(tmp_path / "postings")
+    S.write_postings(st, path)
+    a = search_with_previews(st, "spark vector").toPandas()
+    b = search_with_previews(st, "spark vector", postings_path=path).toPandas()
+    assert a.drop(columns=["preview"]).equals(b.drop(columns=["preview"]))
+    assert list(a.preview.map(tuple)) == list(b.preview.map(tuple))
