@@ -1062,8 +1062,12 @@ def oracle_sql() -> dict[str, str]:
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         s AS (
           SELECT user_id, value,
-                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                 -- CAST: DuckDB's windowed sum(int) is HUGEINT, which pandas
+                 -- receives as float64 (11.0) while Spark emits bigint (11) —
+                 -- rows/schema matched but the driver value-hash didn't (r02)
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
           FROM g)
         SELECT user_id, session_id, count(*) AS n_events,
                CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
