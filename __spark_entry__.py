@@ -425,13 +425,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x34_search_with_previews"] = x34
 
-    def x35(spark, sf):
+    def q59(spark, sf):
+        # ANN scale path: signature-partitioned index built once
+        # (write_ann_index), query = partition-pruned multiprobe lookup.
+        # Result must equal the scan-form ann_lsh (tests assert it) and is
+        # DuckDB-oracled via the same closed-form hyperplanes.
+        import tempfile
+
         e = _emb(spark, sf)
         qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
         ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
-        return X.ann_lsh(ed, qvec, k=10, n_probes=3)  # multiprobe recall path
+        path = tempfile.mkdtemp(prefix="qs_ann_q_") + "/ann"
+        X.write_ann_index(ed, path)
+        res = X.ann_lsh_indexed(spark, path, qvec, k=10, n_probes=8)
+        # recall gate vs the exact baseline (q24's brute force): multiprobe
+        # at 8 of 64 buckets must retain most of the true top-10
+        brute = {r.vec_id for r in X.ann_bruteforce(ed, qvec, k=10).collect()}
+        got = {r.vec_id for r in res.collect()}
+        assert len(got & brute) >= 6, f"ann_lsh recall collapsed: {sorted(got & brute)}"
+        return res
 
-    q["x35_ann_lsh_bucketed"] = x35
+    q["q59_ann_lsh_indexed"] = q59
 
     # --- scalar/util operators (F6/F7/P8/U2/S12/A3/A4) ---
     def q36(spark, sf):
@@ -895,8 +909,17 @@ def oracle_sql() -> dict[str, str]:
         )
         for b in range(X.LSH_BANDS)
     )
+    # candidates among exact-dup-cluster REPRESENTATIVES (min doc_id per
+    # normalized-text fingerprint) — mirrors lsh_candidate_pairs' hot-bucket
+    # guard #1.  Guard #2 (the >4096-member bucket star fallback) is
+    # unreachable at driver scale (<= a few thousand docs total) and omitted.
+    _REPS_SQL = (
+        "SELECT min(doc_id) AS doc_id FROM documents"
+        " GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    )
     o["q21_lsh_candidate_pairs"] = f"""
-        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+                      WHERE doc_id IN ({_REPS_SQL})),
         sh AS (SELECT DISTINCT doc_id, sh FROM (
           SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks)),
         h AS ({_H12_SQL}),
@@ -927,7 +950,8 @@ def oracle_sql() -> dict[str, str]:
     # q21 (restricted to src0), exact Jaccard computed only for candidates —
     # mirrors the Spark scale path exactly (textops.ngram_jaccard_pairs)
     o["q23_ngram_jaccard"] = f"""
-        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+                      WHERE doc_id IN ({_REPS_SQL})),
         sh AS (SELECT DISTINCT doc_id, sh FROM (
           SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks)),
         h AS ({_H12_SQL}),
@@ -1228,5 +1252,46 @@ def oracle_sql() -> dict[str, str]:
     # the postings-table search path must produce EXACTLY the scan path's
     # result — same oracle as q05
     o["q58_postings_search"] = o["q05_or_search_rank"]
+
+    # ANN-LSH multiprobe over the signature-partitioned index: the closed-form
+    # hyperplanes (_hyperplane: component d of plane i = ((i*31+d*17)%13)-6)
+    # and the Lv et al. probe order (flip lowest-|margin| bits first) are both
+    # reproducible in SQL; dot products fold left-to-right in both engines
+    # (same IEEE result — the q24 precedent).
+    N_PLANES, N_PROBES = 6, 8
+    dot_exprs = ", ".join(
+        f"list_sum(list_transform(range(len(ev)),"
+        f" d -> ev[d+1] * (((({i}*73856093 + d*19349663) % 2039) % 21) - 10)))"
+        f" AS d{i}"
+        for i in range(N_PLANES)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(N_PLANES)
+    )
+    # probe order = flip-mask score (sum of |margins| over flipped bits),
+    # ties on the mask — byte-identical to textops.ann_probe_seq (adding 0.0
+    # for unset bits leaves the IEEE sum unchanged)
+    mask_score = " + ".join(
+        f"(CASE WHEN (m >> {i}) & 1 = 1 THEN abs(d{i}) ELSE 0.0 END)"
+        for i in range(N_PLANES)
+    )
+    o["q59_ann_lsh_indexed"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        d AS (SELECT vec_id, ev, {dot_exprs} FROM e),
+        s AS (SELECT vec_id, ev, CAST({sig_expr} AS BIGINT) AS sig,
+                     {', '.join(f'd{i}' for i in range(N_PLANES))} FROM d),
+        q AS (SELECT * FROM s WHERE vec_id = 0),
+        probes AS (
+          SELECT xor(q.sig, CAST(m AS BIGINT)) AS p
+          FROM (SELECT unnest(range({1 << N_PLANES})) AS m), q
+          ORDER BY {mask_score}, m LIMIT {N_PROBES}),
+        sel AS (SELECT vec_id, ev FROM s WHERE sig IN (SELECT p FROM probes)),
+        r AS (SELECT sel.vec_id,
+                list_sum(list_transform(range(len(sel.ev)), d -> sel.ev[d+1] * q.ev[d+1])) /
+                (sqrt(list_sum(list_transform(sel.ev, x -> x * x))) *
+                 sqrt(list_sum(list_transform(q.ev, x -> x * x)))) AS c
+              FROM sel, q)
+        SELECT vec_id, round(c, 6) AS cosine FROM r ORDER BY cosine DESC, vec_id LIMIT 10
+    """
 
     return o

@@ -22,6 +22,12 @@ Spec (deterministic, stdlib-only DOM tokenization via html.parser):
     heading closes an open block of the same tag; any block start closes an
     open <p>; </li>-style end tags unwind implied-open inner blocks; blocks
     still open at end-of-document are flushed, not discarded.
+  - Nested tables: <table> pushes a boundary sentinel that stops the
+    implied-close unwind (per the HTML spec, implied end tags do not cross a
+    table scope), so an inner table's <tr> no longer closes the enclosing
+    outer <tr>, and outer-cell text after the inner table lands back in the
+    outer row.  Inner blocks emit when they close, i.e. before their
+    enclosing outer row.
 """
 
 from __future__ import annotations
@@ -62,12 +68,20 @@ class _MainContentParser(HTMLParser):
             return
         if tag == "a":
             self._a_depth += 1
-        if tag in _BLOCKS:
+        if tag == "table":
+            # table-boundary sentinel: implied end tags never cross a table
+            # scope, so a nested table's <tr> must not close the outer <tr>
+            self._block_stack.append(
+                {"tag": "table", "parts": [], "link": 0, "total": 0, "cells": []}
+            )
+        elif tag in _BLOCKS:
             # HTML implied-end-tag rules: real-world markup omits </p>/</li>
             # (<p>one<p>two, <li>a<li>b); without this the unclosed block
             # stays stuck on the stack and its text is silently lost
             while self._block_stack:
                 top = self._block_stack[-1]["tag"]
+                if top == "table":
+                    break  # unwind stops at the table boundary
                 if (top == tag and tag in _SELF_CLOSE_SAME) or (
                     top == "p" and tag != "p"  # any block start closes an open <p>
                 ):
@@ -83,6 +97,8 @@ class _MainContentParser(HTMLParser):
 
     def _emit_top(self) -> None:
         b = self._block_stack.pop()
+        if b["tag"] == "table":
+            return  # boundary sentinel, never emits
         if b["tag"] == "tr" and b["cells"]:
             cell_texts = []
             bounds = b["cells"] + [len(b["parts"])]
@@ -105,7 +121,26 @@ class _MainContentParser(HTMLParser):
             return
         if tag == "a":
             self._a_depth = max(0, self._a_depth - 1)
-        if tag in _BLOCKS and any(b["tag"] == tag for b in self._block_stack):
+        if tag == "table":
+            # close everything open inside the innermost table scope (an
+            # unclosed inner <tr> emits here), then pop its sentinel
+            if any(b["tag"] == "table" for b in self._block_stack):
+                while self._block_stack:
+                    top_is_sentinel = self._block_stack[-1]["tag"] == "table"
+                    self._emit_top()
+                    if top_is_sentinel:
+                        break
+            return
+        # match only within the innermost table scope: an end tag must not
+        # unwind across (and silently emit) a table boundary
+        scope_start = 0
+        for i in range(len(self._block_stack) - 1, -1, -1):
+            if self._block_stack[i]["tag"] == "table":
+                scope_start = i + 1
+                break
+        if tag in _BLOCKS and any(
+            b["tag"] == tag for b in self._block_stack[scope_start:]
+        ):
             # unwind implied-open inner blocks (<li>a<p>b</li>) down to and
             # including the matching one
             while self._block_stack:

@@ -121,9 +121,25 @@ def _as_string_frame(df: pd.DataFrame) -> pd.DataFrame | None:
     DataFrameFormatter._get_strcols_without_index makes) applied once per
     column.  Validation against real to_string happens in _formula_check, so
     a pandas-version drift here degrades to the slow path, never to wrong
-    bytes."""
+    bytes.
+
+    ONLY slice-stable dtypes may take this path: pandas formats FLOAT columns
+    per printed frame (a sub-frame holding only 1.5-style values prints
+    '1.5' where the full frame printed '1.50'), so a full-frame projection
+    is NOT what to_string of a chunk slice would emit — and the sampled
+    validation in _formula_check cannot catch a divergence that only appears
+    in a later chunk.  object/int/bool cells format per-cell, independent of
+    the slice; everything else (float, datetime, category, ...) returns None
+    and the caller falls back to real per-slice to_string probing."""
     if all(dt == object for dt in df.dtypes):
         return df
+    if not all(
+        dt == object
+        or pd.api.types.is_integer_dtype(dt)
+        or pd.api.types.is_bool_dtype(dt)
+        for dt in df.dtypes
+    ):
+        return None
     try:
         from pandas.io.formats.format import format_array
 

@@ -63,10 +63,16 @@ def assign_index_ids(
 
     Falls back to the single global window when the key is non-numeric or the
     input is empty/constant — callers at scale order by a numeric key.
+
+    Null order keys get dedicated bucket 0 (width_bucket(null) is null, which
+    would otherwise null the offset map lookup and emit null ids): real
+    buckets are 1..n_buckets (lo = the non-null min, so width_bucket never
+    returns 0 itself), and bucket 0 sorting first reproduces the global
+    window's NULLS FIRST default ordering exactly.
     """
     key = order_cols[0]
     mm = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    lo, hi = mm["lo"], mm["hi"]
+    lo, hi = mm["lo"], mm["hi"]  # min/max skip nulls; all-null -> lo is None
     numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
     if not numeric or lo is None or lo == hi or n_buckets < 2:
         w = Window.orderBy(*[F.col(c) for c in order_cols])
@@ -74,7 +80,10 @@ def assign_index_ids(
 
     bucket = F.width_bucket(F.col(key), F.lit(lo), F.lit(hi), F.lit(n_buckets))
     bdf = df.withColumn(
-        "_b", F.least(bucket, F.lit(n_buckets)).cast("int")  # hi lands in n_buckets+1
+        "_b",
+        F.when(F.col(key).isNull(), F.lit(0))
+        .otherwise(F.least(bucket, F.lit(n_buckets)))  # hi lands in n_buckets+1
+        .cast("int"),
     )
     counts = {r["_b"]: r["c"] for r in bdf.groupBy("_b").agg(F.count("*").alias("c")).collect()}
     offsets, acc = {}, last_index_id

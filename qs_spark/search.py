@@ -25,6 +25,7 @@ import re
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from qs_spark.cachereg import scoped_cache
 from qs_spark.stopwords import STOPWORDS
 
 BASE_SCORE = 0.7
@@ -67,12 +68,17 @@ def build_postings(store: DataFrame) -> DataFrame:
     The reference's index sink S12 (file_upload.py:362-476) with monotonic ids
     replaced by the natural (row_id, pos) key — Iceberg/parquet partitioning
     on bucket(term) makes term lookups partition-pruned at scale.
+
+    version_id rides along when the store carries it, so a version-scoped
+    delete cascade (registry.delete_versions, T4) can remove exactly that
+    version's index entries — without it the cascade fell back to doc-level
+    and deleting one version de-indexed every surviving version.
     """
+    cols = ["row_id", "document_id", "document_name", "page_no"]
+    if "version_id" in store.columns:
+        cols.append("version_id")
     return with_tokens(store).select(
-        "row_id",
-        "document_id",
-        "document_name",
-        "page_no",
+        *cols,
         F.posexplode("tokens").alias("pos", "term"),
     )
 
@@ -311,8 +317,8 @@ def score_per_file(rows: DataFrame) -> DataFrame:
     Spark's LRU evicts it under pressure.  No single-partition window
     anywhere: at web scale "matching files" can be millions of rows, too
     many for one partition — which rules out the r01 global-window form."""
-    per_file = (
-        rows.groupBy("document_name").agg(F.count("*").alias("match_count")).cache()
+    per_file = scoped_cache(
+        rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
     )
     n_files = per_file.agg(F.count("*").alias("n_files"))
     return (
@@ -378,7 +384,7 @@ def bm25l_phrase(store: DataFrame, terms: list[str], k1=1.2, b=0.75, delta=0.5) 
     # stats (N, avdl, df) and the hit rows both derive from it, and without a
     # materialization barrier each branch would re-scan AND re-tokenize the
     # whole store (same plan-audit finding as score_per_file)
-    df = df.select("row_id", "document_name", "page_no", "dl", "tf").cache()
+    df = scoped_cache(df.select("row_id", "document_name", "page_no", "dl", "tf"))
     stats = df.agg(
         F.count("*").alias("n_rows"),
         F.avg("dl").alias("avdl"),

@@ -298,3 +298,44 @@ def test_stitch_collapses_part_errors():
     out = _stitch(pdf)
     assert len(out) == 1
     assert out.iloc[0]["kind"] == "error" and out.iloc[0]["order"] == -1
+
+
+def test_chunker_float_frames_stay_byte_equal():
+    """r02 ADVICE (high): pandas formats float columns per printed sub-frame
+    ('1.5' in a chunk of only 1.5-style values, '1.50' in the full frame), so
+    the frozen-formatting formula path must REJECT float frames and fall back
+    to real per-slice to_string.  This frame diverged at chunk 11 pre-fix."""
+    import pandas as pd
+
+    from qs_spark.kernels.sheet_kernel import (
+        _as_string_frame,
+        chunk_frame,
+        chunk_frame_reference,
+    )
+
+    df = pd.DataFrame({"a": [1.25] * 64 + [1.5] * 136, "b": ["x"] * 200})
+    assert _as_string_frame(df) is None  # float frames rejected from formula
+    assert chunk_frame(df, 400) == chunk_frame_reference(df, 400)
+    # slice-stable dtypes (int/bool/object) still take the formula path
+    df2 = pd.DataFrame({"a": range(200), "b": [True, False] * 100, "c": ["yy"] * 200})
+    assert _as_string_frame(df2) is not None
+    assert chunk_frame(df2, 400) == chunk_frame_reference(df2, 400)
+
+
+def test_html_nested_table_keeps_outer_row():
+    """r02 ADVICE: a nested table's <tr> must not implied-close the outer
+    <tr>, and outer-cell text after the inner table must survive."""
+    from qs_spark.kernels.html_kernel import extract_main
+
+    h = (
+        "<table><tr><td>a</td><td>x<table><tr><td>i1</td><td>i2</td></tr>"
+        "</table> y</td></tr></table>"
+    )
+    assert extract_main(h) == ["i1 | i2", "a | x y"]
+    # implied end tags still fire outside table scopes
+    assert extract_main("<p>one<p>two") == ["one", "two"]
+    assert extract_main("<table><tr><td>a</td><tr><td>b</td></table>") == ["a", "b"]
+    # stray text directly inside <table> (outside any row) is chrome, dropped
+    assert extract_main("<table>junk<tr><td>a</td></tr></table>") == ["a"]
+    # a malformed end tag must not unwind across the table boundary
+    assert extract_main("<ul><li>o<table></li></table>p</ul>") == ["op"]

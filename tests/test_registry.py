@@ -113,3 +113,33 @@ def test_delete_cascade_includes_postings_t4(spark):
     )
     _, _, p2 = delete_versions(reg, spans, "d1", None, postings=postings2)
     assert p2.filter("document_id='d1'").count() == 0 and p2.count() == 1
+
+
+def test_version_scoped_delete_keeps_other_versions_postings(spark):
+    """r02 ADVICE: build_postings must carry version_id so deleting ONE
+    version removes only that version's index entries — surviving versions
+    stay retrievable via the postings path."""
+    from qs_spark.registry import delete_versions
+    from qs_spark.search import build_postings
+
+    store = spark.createDataFrame(
+        [
+            ("d1#0", "d1", "d1.txt", 1, "alpha beta", 1),
+            ("d1#1", "d1", "d1.txt", 1, "alpha gamma", 2),
+            ("d2#0", "d2", "d2.txt", 1, "delta", 1),
+        ],
+        "row_id string, document_id string, document_name string,"
+        " page_no int, text string, version_id int",
+    )
+    postings = build_postings(store)
+    assert "version_id" in postings.columns
+    reg = spark.createDataFrame(
+        [("d1", 1, "Publish"), ("d1", 2, "Publish"), ("d2", 1, "Publish")],
+        "doc_id string, version_id int, state string",
+    )
+    spans = store.selectExpr("document_id AS doc_id", "version_id", "text")
+    _, _, keep = delete_versions(reg, spans, "d1", 1, postings=postings)
+    left = keep.toPandas()
+    assert set(left[left.document_id == "d1"].version_id) == {2}
+    assert set(left[left.document_id == "d1"].term) == {"alpha", "gamma"}
+    assert (left[left.document_id == "d2"].version_id == 1).all()

@@ -93,3 +93,21 @@ def test_assign_index_ids_no_global_window_for_numeric(spark):
     )
     # the window must be partitioned (by _b), not a single global sort
     assert "SinglePartition" not in plan
+
+
+def test_assign_index_ids_null_keys_bucket_zero(spark):
+    """r02 ADVICE: width_bucket(null) is null — null order keys must get a
+    dedicated first bucket (NULLS FIRST, matching the global-window default)
+    and never produce null ids."""
+    from qs_spark.scalars import assign_index_ids
+
+    rows = [(None,), (5,), (None,), (1,), (9,), (3,)] + [(i,) for i in range(10, 40)]
+    df = spark.createDataFrame(rows, "k int")
+    out = assign_index_ids(df, last_index_id=100, order_cols=("k",), n_buckets=4).toPandas()
+    assert out.index_id.notna().all()
+    assert sorted(out.index_id) == list(range(101, 101 + len(rows)))
+    # nulls take the first ids; non-null keys follow in key order
+    nulls = out[out.k.isna()]
+    assert set(nulls.index_id) == {101, 102}
+    nn = out[out.k.notna()].sort_values("k")
+    assert nn.index_id.is_monotonic_increasing

@@ -23,12 +23,27 @@ def test_exact_dedup_partitions_docs(spark):
 
 def test_minhash_lsh_finds_true_duplicates(spark):
     d = _docs(spark)
-    # plant an exact duplicate pair: same text, new ids
-    base = d.limit(1).select(F.lit(900001).alias("doc_id"), "text", "lang", "source", "n_chars")
-    dup = base.select(F.lit(900002).alias("doc_id"), "text", "lang", "source", "n_chars")
-    planted = d.unionByName(base.unionByName(dup))
+    first = d.orderBy("doc_id").first()
+    # plant an exact copy (collapses into the original's exact-dup cluster)
+    # and a near-duplicate (one appended token — survives dedup, must be
+    # found by the banding)
+    exact = d.limit(1).select(
+        F.lit(900001).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = d.limit(1).select(
+        F.lit(900002).alias("doc_id"),
+        F.concat("text", F.lit(" zzzextra")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    planted = d.unionByName(exact.unionByName(near))
     pairs = X.lsh_candidate_pairs(planted).toPandas()
-    assert ((pairs.doc_a == 900001) & (pairs.doc_b == 900002)).any()
+    # exact copy never appears (represented by the original doc upstream)
+    assert not ((pairs.doc_a == 900001) | (pairs.doc_b == 900001)).any()
+    # near-dup pair (original, 900002) found by the banding
+    assert ((pairs.doc_a == first.doc_id) & (pairs.doc_b == 900002)).any()
+    # the exact cluster is still visible where it belongs: dedup_exact
+    dd = X.dedup_exact(planted).toPandas()
+    assert (dd[dd.keep_doc_id == first.doc_id].n_dups == 2).all()
 
 
 def test_minhash_similar_docs_share_signature_bits(spark):
@@ -241,3 +256,80 @@ def test_sketch_stats_within_tolerance_of_exact(spark):
     va = X.vocab_per_group(d, "source", exact=False).toPandas().set_index("source")
     for src in ve.index:
         assert abs(ve.loc[src, "vocab_size"] - va.loc[src, "vocab_size"]) <= 0.1 * ve.loc[src, "vocab_size"]
+
+
+def test_lsh_degenerate_dup_corpus_stays_linear(spark):
+    """r02 weak spot: 10k copies of one doc share every band bucket; the
+    naive bucket self-join emits ~50M pairs.  With exact-dedup upstream the
+    cluster collapses to ONE representative — output stays small and no pair
+    links two members of the duplicate cluster."""
+    base = _docs(spark).limit(50).select("doc_id", "text")
+    dup = spark.range(10_000).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.lit("aaa bbb ccc ddd eee fff ggg hhh").alias("text"),
+    )
+    pairs = X.lsh_candidate_pairs(base.unionByName(dup)).toPandas()
+    assert len(pairs) < 5_000  # not ~50M
+    # only the representative (min doc_id = 100000) survives from the cluster
+    assert not ((pairs.doc_a > 100_000) | (pairs.doc_b > 100_000)).any()
+
+
+def test_lsh_bucket_cap_emits_star_not_quadratic(spark):
+    """Near-identical family (shared 200-token text + unique suffix) is NOT
+    collapsed by exact dedup; the bucket cap must turn its all-pairs output
+    into a connectivity-preserving star."""
+    base_text = " ".join(f"w{i}" for i in range(200))
+    docs = spark.range(40).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(F.lit(base_text + " u"), F.col("id").cast("string")).alias("text"),
+    )
+    capped = X.lsh_candidate_pairs(docs, max_bucket_size=8).toPandas()
+    uncapped = X.lsh_candidate_pairs(docs, max_bucket_size=10_000).toPandas()
+    assert len(uncapped) > 600  # the family really is all-pairs-dense
+    assert len(capped) < len(uncapped) / 3  # star output is O(m), not m^2/2
+    # connectivity: every member still reachable (appears in some pair)
+    assert set(capped.doc_a) | set(capped.doc_b) == set(range(40))
+
+
+def test_embedding_near_dup_cap_keeps_verified_star(spark):
+    """Embedding hot-bucket cap: identical vectors land in one bucket per
+    table; over the cap, only rep-star pairs come out — all cosine=1 — and
+    every member stays connected to the representative."""
+    e = spark.range(30).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[F.lit(float(v)) for v in (1.0, 2.0, 3.0, 4.0)]).alias("embedding"),
+    )
+    capped = X.embedding_near_dup_lsh(e, threshold=0.99, max_bucket_size=8).toPandas()
+    assert (capped.vec_a == 0).all()  # star to the min vec_id
+    assert set(capped.vec_b) == set(range(1, 30))
+    assert (capped.cosine >= 0.999999).all()
+    uncapped = X.embedding_near_dup_lsh(e, threshold=0.99).toPandas()
+    assert len(uncapped) == 30 * 29 // 2
+
+
+def test_ann_indexed_equals_scan_and_prunes(spark, tmp_path):
+    """write_ann_index + ann_lsh_indexed must return exactly the scan-form
+    ann_lsh result, with the plan pruned to the probed sig partitions."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    path = str(tmp_path / "ann")
+    X.write_ann_index(ed, path)
+    scan = X.ann_lsh(ed, qvec, k=10, n_probes=8).toPandas()
+    idx = X.ann_lsh_indexed(spark, path, qvec, k=10, n_probes=8)
+    assert idx.toPandas().values.tolist() == scan.values.tolist()
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "sig" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ann_probe_seq_margin_order(spark):
+    """Probe sequence: starts at the query's own bucket (flip score 0),
+    distinct buckets, covers the whole space when n_probes = 2^planes."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    probes = X.ann_probe_seq(qvec, 6, 64)
+    assert len(probes) == 64 and len(set(probes)) == 64
+    p1 = X.ann_probe_seq(qvec, 6, 1)
+    assert probes[0] == p1[0]  # own bucket first
+    assert X.ann_probe_seq(qvec, 6, 8) == probes[:8]  # prefix-stable
