@@ -110,6 +110,25 @@ def _h60_sql(expr: str) -> str:
     return f"cast(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _golden_sql(name: str) -> str | None:
+    """Golden VALUES oracle for entries over the generated corpus (x33/x34/
+    x41/x47): DuckDB cannot re-derive the synthetic corpus from the
+    registered tables, so the oracle is the frozen output of the
+    SINGLE-THREADED NON-SPARK pandas reference implementation — produced by
+    tools/gen_golden_oracles.py (see its module docstring), pinned to the
+    driver's 500-doc scale (sf0.001/sf0.01).  The driver's rows+schema+hash
+    gate then verifies distributed == serial-reference byte-for-byte.
+    Returns None (rows-only fallback) if the golden file is absent."""
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "qs_spark", "golden", name)
+    try:
+        with open(p) as f:
+            return f.read()
+    except OSError:
+        return None
+
+
 # ---------------------------------------------------------------- entry
 
 
@@ -122,6 +141,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------- queries
+
+
+def _with_cache_release(fn: Callable) -> Callable:
+    """Release the PREVIOUS query's registered caches before running the next
+    one: the driver executes dozens of entries in one session, and the
+    operators' deliberate materialization barriers (score_per_file, LSH
+    bucket tables, ...) would otherwise accumulate until LRU pressure
+    (r02 ADVICE).  Residency is bounded to one query's working set."""
+    from qs_spark.cachereg import release_caches
+
+    def wrapped(spark, sf):
+        release_caches()
+        return fn(spark, sf)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -398,11 +432,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x32_extract_html_strip"] = x32
 
-    # --- rows-only entries (non-SQL-expressible: pandas kernels / full corpus) ---
+    # --- full-corpus entries, golden-oracled (see oracle_sql's golden note) ---
     def x33(spark, sf):
+        # Flagship extraction over the full mixed corpus, projected to a
+        # per-doc digest (order#kind#md5(text)#media_ref joined in span
+        # order, md5'd): covers every span field of every doc in 500 rows,
+        # compared against the serial pandas reference via the golden oracle.
+        # entry() still returns the raw span table for the smoke check.
         n = _docs(spark, sf).count()
-        return extract_spans(corpus_parquet(spark, n)).select(
-            "doc_id", F.col("order").alias("span_order"), "kind", "text", "media_ref", "fmt"
+        spans = extract_spans(corpus_parquet(spark, n))
+        item = F.struct(
+            F.col("order"),
+            F.col("kind"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("th"),
+            F.col("media_ref"),
+        )
+        agg = spans.groupBy("doc_id").agg(
+            F.max("fmt").alias("fmt"),
+            F.count("*").alias("n_spans"),
+            F.sort_array(F.collect_list(item)).alias("_items"),
+        )
+        part = lambda s: F.concat_ws(  # noqa: E731
+            "#", s["order"].cast("string"), s["kind"], s["th"], s["media_ref"]
+        )
+        return agg.select(
+            "doc_id",
+            "fmt",
+            "n_spans",
+            F.md5(F.array_join(F.transform("_items", part), "|")).alias("span_digest"),
         )
 
     q["x33_extract_full_corpus"] = x33
@@ -756,7 +813,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x48_media_pipeline"] = x48
 
-    return q
+    def q60(spark, sf):
+        # get_file_list projection (reference API/router/api.py:763-840): the
+        # per-(uid, doc) file listing — version list, current published
+        # version, version count, published count — from the registry.
+        # uid synthesized as in q44 (u0/u1/u2 by doc_id % 3).
+        from qs_spark.registry import with_current_version
+
+        reg = with_current_version(_registry_df(spark, sf))
+        return (
+            reg.groupBy("doc_id")
+            .agg(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.col("version_id").cast("string")))
+                ).alias("versions"),
+                F.count("*").alias("n_versions"),
+                F.max("current_version").cast("int").alias("current_version"),
+                F.sum((F.col("state") == "Publish").cast("int")).alias("n_published"),
+            )
+            .withColumn("uid", F.concat(F.lit("u"), (F.col("doc_id") % 3).cast("string")))
+        )
+
+    q["q60_get_file_list"] = q60
+
+    def q61(spark, sf):
+        # Multi-page PDF walk with a pure-SQL oracle: every document becomes
+        # a 3-page pdf — a text page, an EMPTY text page (must be dropped so
+        # later orders shift), and a table page (OCR route: empty lines
+        # dropped, each kept line stitched with a trailing newline).
+        # Exercises S4's walk + the position-after-drop order contract on the
+        # driver's own data, complementing x33's full-corpus digest.
+        d = _docs(spark, sf)
+        table_text = F.concat(
+            F.lit("r1 "), F.col("source"), F.lit("\n\n"), F.lit("r2 "), F.col("lang")
+        )
+        wrapped = d.select(
+            F.concat(F.lit("doc"), d.doc_id.cast("string")).alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("pdf_text").alias("kind"),
+                    F.col("text").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                ),
+                F.struct(
+                    F.lit("pdf_text").alias("kind"),
+                    F.lit("").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(1).alias("offset"),
+                ),
+                F.struct(
+                    F.lit("pdf_table").alias("kind"),
+                    table_text.alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(2).alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+        return extract_spans(wrapped).select(
+            "doc_id", F.col("order").alias("span_order"), "kind", "text", "media_ref"
+        )
+
+    q["q61_extract_pdf_walk"] = q61
+
+    return {name: _with_cache_release(fn) for name, fn in q.items()}
 
 
 # ---------------------------------------------------------------- oracles
@@ -1252,6 +1372,46 @@ def oracle_sql() -> dict[str, str]:
     # the postings-table search path must produce EXACTLY the scan path's
     # result — same oracle as q05
     o["q58_postings_search"] = o["q05_or_search_rank"]
+
+    # golden oracles (serial pandas reference, frozen by
+    # tools/gen_golden_oracles.py — see _golden_sql)
+    for key, fname in (
+        ("x33_extract_full_corpus", "x33_extract_full_corpus.sql"),
+        ("x34_search_with_previews", "x34_search_with_previews.sql"),
+        ("x41_preview_docs_pages", "x41_preview_docs_pages.sql"),
+        ("x47_checkpoint_lineage", "x47_checkpoint_lineage.sql"),
+    ):
+        g = _golden_sql(fname)
+        if g is not None:
+            o[key] = g
+
+    o["q60_get_file_list"] = f"""
+        WITH reg AS ({_REGISTRY_SQL})
+        SELECT doc_id,
+               string_agg(CAST(version_id AS VARCHAR), ',' ORDER BY version_id)
+                 AS versions,
+               count(*) AS n_versions,
+               CAST(max(CASE WHEN state = 'Publish' THEN version_id END) AS INT)
+                 AS current_version,
+               CAST(sum(CASE WHEN state = 'Publish' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_published,
+               'u' || CAST(doc_id % 3 AS VARCHAR) AS uid
+        FROM reg GROUP BY doc_id
+    """
+
+    # 3-page pdf walk: page 0 = text layer (dropped when empty, shifting
+    # later orders), page 1 = always-empty text page (always dropped),
+    # page 2 = table page through the OCR route (empty lines dropped, each
+    # kept line stitched with a trailing newline)
+    o["q61_extract_pdf_walk"] = """
+        SELECT 'doc' || doc_id AS doc_id, 0 AS span_order, 'pdf_text' AS kind,
+               text, '' AS media_ref
+        FROM documents WHERE length(text) > 0
+        UNION ALL
+        SELECT 'doc' || doc_id, CASE WHEN length(text) > 0 THEN 1 ELSE 0 END,
+               'ocr', 'r1 ' || source || chr(10) || 'r2 ' || lang || chr(10), ''
+        FROM documents
+    """
 
     # ANN-LSH multiprobe over the signature-partitioned index: the closed-form
     # hyperplanes (_hyperplane: component d of plane i = ((i*31+d*17)%13)-6)

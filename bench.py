@@ -154,30 +154,43 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
 
 
 HEADLINE = ("extract", "search", "search_idx", "dedup_lsh", "ann_topk")
+TRIALS = int(os.environ.get("QS_BENCH_TRIALS", "3"))
 
 
 def main_bench() -> None:
+    """Each headline query runs TRIALS times in fresh subprocesses and
+    reports the MEDIAN (r02 verdict: single-run noise at sf0.1 is ~±20%,
+    enough to mask real wins like the postings path)."""
+    import statistics
+
     queries: dict[str, float] = {}
     extras: dict[str, object] = {}
+    trials: dict[str, list[float]] = {}
     for name in HEADLINE:
-        r = subprocess.run(
-            [sys.executable, __file__, "--query-once", name, SF_DIR, str(CPUS)],
-            capture_output=True, text=True, timeout=3600,
-        )
-        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-        if not lines:
-            raise SystemExit(f"bench query {name} failed: {r.stderr[-2000:]}")
-        res = json.loads(lines[-1])
+        secs: list[float] = []
+        last: dict = {}
+        for _ in range(TRIALS):
+            r = subprocess.run(
+                [sys.executable, __file__, "--query-once", name, SF_DIR, str(CPUS)],
+                capture_output=True, text=True, timeout=3600,
+            )
+            lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                raise SystemExit(f"bench query {name} failed: {r.stderr[-2000:]}")
+            last = json.loads(lines[-1])
+            secs.append(last["sec"])
+        med = round(statistics.median(secs), 3)
+        trials[name] = secs
         if name == "search_idx":
             # reported separately: keeps `value` (sum of the original four)
             # comparable round-over-round while still measuring the pruned
             # postings path
-            extras["search_idx_sec"] = res["sec"]
+            extras["search_idx_sec"] = med
             continue
-        queries[name] = res["sec"]
+        queries[name] = med
         if name == "extract":
-            extras["docs_per_sec"] = res["docs_per_sec"]
-            extras["n_docs"] = res["n_docs"]
+            extras["n_docs"] = last["n_docs"]
+            extras["docs_per_sec"] = round(last["n_docs"] / med, 1)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -186,6 +199,8 @@ def main_bench() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "trials": TRIALS,
+        "trials_sec": trials,
         **extras,
     }
     print(json.dumps(out))
