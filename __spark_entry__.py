@@ -340,10 +340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q21_lsh_candidate_pairs"] = q21
 
-    def q22(spark, sf):
-        return X.simhash(_docs(spark, sf))
-
-    q["q22_simhash"] = q22
+    # (q22 simhash retired for the driver's 50-row budget: q50's near-dup
+    # oracle recomputes the identical simhash in SQL, so the fingerprint
+    # stays value-checked; the standalone op keeps its pytest coverage.)
 
     def q23(spark, sf):
         # GLOBAL (the r01 src0 filter only bounded the old all-pairs cost;
@@ -370,10 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q26_lang_id"] = q26
 
-    def q27(spark, sf):
-        return X.fingerprint(_docs(spark, sf))
-
-    q["q27_fingerprint"] = q27
+    # (q27 fingerprint retired for the 50-row budget: the identical
+    # md5-of-normalized-text expression is q19's oracle group key, so it
+    # remains value-checked there; winnowing keeps its pytest coverage.)
 
     # --- registry state machine (T1 both directions /P3) ---
     def q28(spark, sf):
@@ -470,10 +468,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by mode.  preview is array<string>; the driver harness sorts/hashes
         # pandas frames, so serialize it to JSON here (the library keeps
         # returning real arrays).
+        from qs_spark.cachereg import scoped_cache
+
         n = min(_docs(spark, sf).count(), 1500)
         # cache: two search modes x two branches each would otherwise re-run
-        # the whole extraction lineage four times
-        store = build_store(extract_spans(corpus_parquet(spark, n))).cache()
+        # the whole extraction lineage four times; registered so the next
+        # entry's wrapper releases it
+        store = scoped_cache(build_store(extract_spans(corpus_parquet(spark, n))))
         a = search_with_previews(store, "spark join").withColumn("mode", F.lit("or"))
         b = search_with_previews(store, "data table", exact_match=True).withColumn(
             "mode", F.lit("exact")
@@ -798,12 +799,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def x48(spark, sf):
         # multimodal pipeline in one entry (driver-row budget): feature
-        # extraction over every medium + video frame-sample counts joined on;
-        # embedding serialized for the driver harness.
+        # extraction over every medium + video frame-sample counts joined on.
+        # The embedding serializes as integer MICRO-UNITS (floor(x*1e6+.5))
+        # rather than raw floats: float32 JSON formatting differs between
+        # engines (Java shortest-float repr vs python float64 repr), while
+        # the quantized ints are bit-identical — which lets the golden
+        # pandas-reference oracle cover this entry too.
         from qs_spark.multimodal import extract_features, sample_frames, synth_media_df
 
         media = synth_media_df(spark, 512)
-        feats = extract_features(media).withColumn("embedding", F.to_json("embedding"))
+        e6 = F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("bigint"),
+        )
+        feats = extract_features(media).withColumn("embedding_e6", F.to_json(e6)).drop(
+            "embedding"
+        )
         frames = sample_frames(media).groupBy("media_ref").agg(
             F.count("*").alias("n_frames"), F.max("ts_ms").alias("last_ts_ms")
         )
@@ -1057,14 +1068,8 @@ def oracle_sql() -> dict[str, str]:
     bit_sum = " + ".join(
         f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(X.SIMHASH_BITS)
     )
-    o["q22_simhash"] = f"""
-        WITH toks AS (
-          SELECT doc_id, {_h60_sql('tok')} AS h FROM (
-            SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
-            FROM documents)),
-        per AS (SELECT doc_id, {bit_aggs} FROM toks GROUP BY doc_id)
-        SELECT doc_id, cast({bit_sum} AS bigint) AS simhash FROM per
-    """
+    # (q22/q27 retired from the driver's 50-row budget; their expressions
+    # stay value-checked inside q50 and q19 respectively.)
 
     # LSH-prefiltered Jaccard: candidates from the same MinHash banding as
     # q21 (restricted to src0), exact Jaccard computed only for candidates —
@@ -1151,11 +1156,6 @@ def oracle_sql() -> dict[str, str]:
                CASE {pred_cases} ELSE 'other' END AS lang_pred
         FROM h
     """
-
-    o["q27_fingerprint"] = (
-        "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint"
-        " FROM documents"
-    )
 
     # publish(42, v1) then revert(43, None): every non-zero version of 43 ->
     # 'inter', nothing published; current_version = the published version per
@@ -1380,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         ("x34_search_with_previews", "x34_search_with_previews.sql"),
         ("x41_preview_docs_pages", "x41_preview_docs_pages.sql"),
         ("x47_checkpoint_lineage", "x47_checkpoint_lineage.sql"),
+        ("x48_media_pipeline", "x48_media_pipeline.sql"),
     ):
         g = _golden_sql(fname)
         if g is not None:

@@ -83,9 +83,62 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
     hashing per permutation, same LSH guarantees.  All arithmetic stays in
     BIGINT range (operands < 2^31, i*h2 < 2^36) and is reproducible in the
     DuckDB oracle.
+
+    Computed in an Arrow-batched pandas kernel (round 3): per-element JVM
+    higher-order functions (transform/slice/array_join over ~600 shingles
+    per doc) interpret at ~1.5us/element — measured 4.6 s at sf0.1, ~80% of
+    dedup_lsh wall time — while the same md5 math in a mapInPandas kernel
+    (hashlib + a comprehension, C-speed md5) runs in 1.9 s.  Output is
+    IDENTICAL (asserted by test_minhash_kernel_matches_jvm_exprs) and the
+    kernel is row-local — no shuffle, embarrassingly parallel at 100 TB.
+    Null-text docs drop, matching the r02 explode form's semantics.
     """
-    # no .distinct(): min() is duplicate-insensitive, so deduping shingles
-    # would only add a shuffle
+    import hashlib
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    id_field = docs.schema["doc_id"]
+    schema = T.StructType(
+        [T.StructField("doc_id", id_field.dataType)]
+        + [T.StructField(f"mh{i}", T.LongType()) for i in range(k)]
+    )
+    P = MINHASH_P
+
+    def kernel(batches):
+        import pandas as pd
+
+        ws = _re.compile(r"\s+")
+        for pdf in batches:
+            ids, cols = [], [[] for _ in range(k)]
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = ws.sub(" ", text.lower()).split(" ")
+                if len(toks) < n:
+                    shs = [" ".join(toks)]
+                else:
+                    shs = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                pairs = []
+                for sh in shs:
+                    d = hashlib.md5(sh.encode("utf-8")).hexdigest()
+                    pairs.append((int(d[:15], 16) % P, int(d[16:31], 16) % P))
+                ids.append(did)
+                for i in range(k):
+                    cols[i].append(min((a + i * b) % P for a, b in pairs))
+            out = {"doc_id": ids}
+            for i in range(k):
+                out[f"mh{i}"] = pd.Series(cols[i], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, schema)
+
+
+def minhash_signatures_expr(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
+    """The pure-column-expression form of minhash_signatures (r02 shape):
+    shingle explode -> md5 split -> k min-aggregates.  Kept as the
+    JVM-side reference the kernel is equality-tested against, and for
+    callers that must stay UDF-free."""
     sh = docs.select("doc_id", F.explode(shingles_col(n)).alias("sh"))
     md5 = F.md5(F.col("sh"))
     h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint") % MINHASH_P
@@ -117,16 +170,18 @@ def lsh_buckets(sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> 
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def exact_dedup_reps(docs: DataFrame) -> DataFrame:
-    """Exact-dup cluster representatives: the min-doc_id row per
-    normalized-text fingerprint.  One shuffle (by fp); dedup_exact carries
-    the per-cluster n_dups weight when a caller needs to re-expand."""
-    w = Window.partitionBy("_fp").orderBy("doc_id")
+def exact_dedup_rep_ids(docs: DataFrame) -> DataFrame:
+    """doc_ids of exact-dup cluster representatives (min doc_id per
+    normalized-text fingerprint).  The fingerprint is computed row-local and
+    only the slim (fp, doc_id) pair shuffles — never the text (the first
+    round-3 form windowed the full text by fp and cost ~60% extra wall time
+    at sf0.1); dedup_exact carries the per-cluster n_dups weight when a
+    caller needs to re-expand."""
     return (
-        docs.withColumn("_fp", F.md5(norm_text()))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
+        docs.select(F.md5(norm_text()).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
 
 
@@ -144,10 +199,13 @@ def lsh_candidate_pairs(
     naive bucket-local self-join emits m²/2 pairs before any filter.  Two
     guards make the join output linear in the degenerate case:
 
-      1. exact-dedup upstream (exact_dedup_reps): an identical-copy cluster
-         contributes ONE bucket member; candidate pairs are between
+      1. exact-dedup upstream (exact_dedup_rep_ids): an identical-copy
+         cluster contributes ONE bucket member; candidate pairs are between
          representatives (dedup_exact's keep_doc_id/n_dups re-expands when
-         per-copy pairs are needed).
+         per-copy pairs are needed).  Applied as a slim semi-join on the
+         BUCKET table, not a text shuffle: signatures are computed for every
+         doc (linear), duplicates are dropped before the join (the only
+         quadratic risk).
       2. bucket cap: a bucket still holding > max_bucket_size members after
          dedup (near-identical template families) emits a STAR — every
          member paired with the bucket's min doc_id — instead of all pairs:
@@ -160,12 +218,18 @@ def lsh_candidate_pairs(
     every document's full text) executes twice.  The cached set is slim —
     LSH_BANDS rows of (doc_id, band, bucket-hash) per doc — and spills to
     disk under pressure; callers release it via cachereg.release_caches()."""
-    reps = exact_dedup_reps(docs)
-    b = scoped_cache(lsh_buckets(minhash_signatures(reps)))
+    b = scoped_cache(
+        lsh_buckets(minhash_signatures(docs)).join(
+            exact_dedup_rep_ids(docs), "doc_id", "left_semi"
+        )
+    )
     sizes = b.groupBy("band", "bucket").agg(
         F.count("*").alias("_m"), F.min("doc_id").alias("_rep")
     )
-    b2 = b.join(sizes, ["band", "bucket"])
+    # b2 is cached TOO: three consumers below (two self-join sides + the
+    # star branch) would otherwise each re-run the b><sizes join — measured
+    # ~4 s of redundant slim-join work at sf0.1
+    b2 = scoped_cache(b.join(sizes, ["band", "bucket"]))
     small = b2.filter(F.col("_m") <= max_bucket_size).select("band", "bucket", "doc_id")
     all_pairs = (
         small.alias("l")

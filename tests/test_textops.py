@@ -333,3 +333,18 @@ def test_ann_probe_seq_margin_order(spark):
     p1 = X.ann_probe_seq(qvec, 6, 1)
     assert probes[0] == p1[0]  # own bucket first
     assert X.ann_probe_seq(qvec, 6, 8) == probes[:8]  # prefix-stable
+
+
+def test_minhash_kernel_matches_jvm_exprs(spark):
+    """The Arrow-batched minhash kernel must produce EXACTLY the column-
+    expression form's signatures (same md5 double-hashing math — this
+    equality is what keeps the DuckDB oracles valid)."""
+    d = _docs(spark).limit(100)
+    a = X.minhash_signatures(d).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        X.minhash_signatures_expr(d)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b.astype(a.dtypes.to_dict()))

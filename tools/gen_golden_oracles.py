@@ -306,6 +306,60 @@ def gen_x47() -> None:
     )
 
 
+def gen_x48() -> None:
+    """Media pipeline reference: replays the (pure-python) synth + decode +
+    histogram featurizer + frame sampler serially for the 512 synthetic
+    media rows and freezes the joined output.  Embeddings are integer
+    micro-units (the entry quantizes identically) so no float-format
+    dependence exists."""
+    import math
+
+    import numpy as np
+
+    from qs_spark.multimodal import EMBED_DIM, _decode, _synth_bmp, _synth_wav
+
+    rows = []
+    for i in range(512):
+        mime = ["image/png", "image/bmp", "audio/wav", "video/mp4"][i % 4]
+        duration_ms = None
+        if mime == "audio/wav":
+            payload, duration_ms = _synth_wav(i)
+        elif mime == "image/bmp":
+            payload, _, _ = _synth_bmp(i)
+        else:
+            import hashlib
+
+            payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 13)
+            if mime.startswith(("audio", "video")):
+                duration_ms = 1000 + (i % 100) * 250
+        decoded = _decode(payload, mime)
+        hist, _ = np.histogram(decoded, bins=EMBED_DIM, range=(0, 256))
+        vec = (hist / max(len(decoded), 1)).astype(np.float32)
+        e6 = [int(math.floor(float(v) * 1e6 + 0.5)) for v in vec]
+        if mime.startswith("video/") and duration_ms:
+            ts = list(range(0, int(duration_ms), 1000))
+            n_frames, last_ts = len(ts), ts[-1]
+        else:
+            n_frames, last_ts = 0, -1
+        rows.append(
+            (
+                sql_str(f"media://synth/{i}"),
+                sql_str(mime),
+                str(len(payload)),
+                sql_str(json.dumps(e6, separators=(",", ":"))),
+                str(n_frames),
+                str(last_ts),
+            )
+        )
+    emit(
+        "x48_media_pipeline.sql",
+        "media_ref, mime, CAST(n_bytes AS INT) AS n_bytes, embedding_e6,"
+        " CAST(n_frames AS BIGINT) AS n_frames, CAST(last_ts_ms AS INT) AS last_ts_ms",
+        ["media_ref", "mime", "n_bytes", "embedding_e6", "n_frames", "last_ts_ms"],
+        rows,
+    )
+
+
 def main() -> None:
     units = reference_extract(N_DOCS)
     gen_x33(units)
@@ -313,6 +367,7 @@ def main() -> None:
     gen_x34(store)
     gen_x41(store)
     gen_x47()
+    gen_x48()
 
 
 if __name__ == "__main__":
