@@ -895,7 +895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     terms_sql = "['" + "','".join(TERMS) + "']"
-    phrase_sql = " " + " ".join(PHRASE) + " "
     markers_sql = "['" + "','".join(X._EN_MARKERS) + "']"
 
     o: dict[str, str] = {}
@@ -955,18 +954,24 @@ def oracle_sql() -> dict[str, str]:
         " AS avg_chars_e6 FROM documents GROUP BY source"
     )
 
+    # doubled-separator overlap-tolerant phrase tf (see search.bm25l_phrase):
+    # token stream with every space doubled; phrase with doubled internal
+    # separators + single edge spaces, removed outright and length-counted
+    phrase_dd = " " + "  ".join(PHRASE) + " "
     o["q12_bm25l_phrase"] = f"""
         WITH t AS (
           SELECT cast(doc_id AS varchar) AS doc_id,
                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
           FROM documents),
+        dd AS (
+          SELECT doc_id, tk,
+                 replace(' ' || array_to_string(tk, ' ') || ' ', ' ', '  ') AS s
+          FROM t),
         m AS (
           SELECT doc_id, len(tk) AS dl,
-                 cast((length(' ' || array_to_string(tk, ' ') || ' ') -
-                       length(replace(' ' || array_to_string(tk, ' ') || ' ',
-                                      '{phrase_sql}', ' '))) /
-                      (length('{phrase_sql}') - 1) AS int) AS tf
-          FROM t),
+                 cast((length(s) - length(replace(s, '{phrase_dd}', ''))) /
+                      length('{phrase_dd}') AS int) AS tf
+          FROM dd),
         s AS (SELECT count(*) AS n_rows, avg(dl) AS avdl,
                      sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS dfp FROM m)
         SELECT doc_id,

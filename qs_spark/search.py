@@ -362,23 +362,28 @@ def bm25l_phrase(store: DataFrame, terms: list[str], k1=1.2, b=0.75, delta=0.5) 
         score  = sum_t idf * (k1+1)(c'+delta) / (k1 + c'+delta)   [c'>0]
         idf    = ln((N+1)/(df+0.5))
 
-    Phrase tf = non-overlapping occurrences of the space-joined phrase within
-    the row's space-joined tokens (positional adjacency).  Documented edge:
-    immediately adjacent repetitions share their boundary space, so
-    " data table data table " counts tf=1, not 2 — the separator-consuming
-    replace cannot see the second occurrence.  Kept as-is deliberately: the
-    DuckDB oracle reproduces the same formula (parity is exact), back-to-back
-    full-phrase repeats are vanishingly rare in prose, and the overlap-
-    tolerant alternative (regex lookahead) is unavailable in the oracle's
-    RE2 engine, which would break verifiability.
+    Phrase tf counts every positional-adjacency occurrence, INCLUDING
+    immediately adjacent repetitions (" data table data table " = tf 2 — the
+    r02-documented undercount is gone).  Trick, oracle-compatible without
+    regex lookahead: DOUBLE every token separator first.  In the doubled
+    string each original boundary space becomes two, and a phrase written
+    with doubled internal separators but single edge spaces
+    (" data  table ") claims only ONE of each boundary pair — so
+    back-to-back occurrences no longer share characters and plain
+    non-overlapping replace() counts them all, identically in Spark and
+    DuckDB.
     """
-    phrase = " " + " ".join(terms) + " "
-    toks = F.concat(F.lit(" "), F.array_join(tokens_col(), " "), F.lit(" "))
+    phrase_dd = " " + "  ".join(terms) + " "
+    toks_dd = F.replace(
+        F.concat(F.lit(" "), F.array_join(tokens_col(), " "), F.lit(" ")),
+        F.lit(" "),
+        F.lit("  "),
+    )
     df = with_tokens(store).withColumn("dl", F.size("tokens"))
     df = df.withColumn(
         "tf",
-        ((F.length(toks) - F.length(F.replace(toks, F.lit(phrase), F.lit(" ")))) /
-         (F.length(F.lit(phrase)) - 1)).cast("int"),
+        ((F.length(toks_dd) - F.length(F.replace(toks_dd, F.lit(phrase_dd), F.lit("")))) /
+         F.length(F.lit(phrase_dd))).cast("int"),
     )
     # cache the slim per-row stats projection before branching: the corpus
     # stats (N, avdl, df) and the hit rows both derive from it, and without a

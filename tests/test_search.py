@@ -239,3 +239,23 @@ def test_preview_search_postings_path_equals_scan(spark, tmp_path):
     b = search_with_previews(st, "spark vector", postings_path=path).toPandas()
     assert a.drop(columns=["preview"]).equals(b.drop(columns=["preview"]))
     assert list(a.preview.map(tuple)) == list(b.preview.map(tuple))
+
+
+def test_bm25l_adjacent_repeats_counted(spark):
+    """r02 documented undercount, now fixed: back-to-back phrase repeats
+    share a boundary space but must each count toward tf (the
+    doubled-separator trick makes them disjoint for replace-counting)."""
+    st = spark.createDataFrame(
+        [
+            ("r0", "d", "f.txt", 1, "data table data table"),       # tf 2
+            ("r1", "d", "g.txt", 1, "data table x data table"),     # tf 2
+            ("r2", "d", "h.txt", 1, "data table only once here"),   # tf 1
+            ("r3", "d", "i.txt", 1, "data tablex data"),            # tf 0
+        ],
+        "row_id string, document_id string, document_name string, page_no int, text string",
+    )
+    res = S.bm25l_phrase(st, ["data", "table"]).toPandas().set_index("row_id")
+    assert set(res.index) == {"r0", "r1", "r2"}  # r3 never matches
+    # equal-dl rows with equal tf score equally; higher tf scores higher
+    assert res.loc["r0", "bm25l"] > res.loc["r2", "bm25l"]
+    assert res.loc["r1", "bm25l"] > res.loc["r2", "bm25l"]
