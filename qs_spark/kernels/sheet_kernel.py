@@ -207,7 +207,12 @@ def chunk_frame(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
     _row = 0
     chunks: list[str] = []
 
-    formula = _formula_check(df) if num_rows > 32 else None
+    # attempt the formula path for EVERY non-empty frame: validation costs
+    # one to_string of min(64, rows) rows — the same as a single probe — and
+    # then every boundary is closed-form and every emit is _render (no
+    # further to_string).  The old >32 gate made small sheets (the common
+    # case) pay probe+emit to_string each: measured 1.9x slower per sheet.
+    formula = _formula_check(df) if num_rows > 0 else None
     if formula is not None:
         import numpy as np
 

@@ -348,3 +348,54 @@ def test_minhash_kernel_matches_jvm_exprs(spark):
         .reset_index(drop=True)
     )
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_connected_components_min_label(spark):
+    """Known graph: {1,2,3} and {5,6} plus a diameter-8 chain — labels must
+    be the component minimum for every node."""
+    edges = [(1, 2), (2, 3), (5, 6)] + [(10 + i, 11 + i) for i in range(8)]
+    pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {r.node: r.cluster for r in X.connected_components(pairs).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[5] == got[6] == 5
+    assert all(got[10 + i] == 10 for i in range(9))
+
+
+def test_near_dup_clusters_drop_duplicates(spark):
+    """End-to-end dedup: exact copy + near copy cluster with the original;
+    keeping representatives drops exactly the duplicates."""
+    d = _docs(spark).limit(40).select("doc_id", "text")
+    first = d.orderBy("doc_id").first()
+    exact = d.limit(1).select(F.lit(900001).alias("doc_id"), "text")
+    near = d.limit(1).select(
+        F.lit(900002).alias("doc_id"), F.concat("text", F.lit(" zzz")).alias("text")
+    )
+    planted = d.unionByName(exact).unionByName(near)
+    cl = X.near_dup_clusters(planted, jaccard_threshold=0.5).toPandas()
+    assert len(cl) == 42
+    byid = cl.set_index("doc_id")
+    assert byid.loc[900001, "cluster"] == first.doc_id
+    assert byid.loc[900002, "cluster"] == first.doc_id
+    assert bool(byid.loc[first.doc_id, "is_representative"])
+    assert not bool(byid.loc[900001, "is_representative"])
+    assert not bool(byid.loc[900002, "is_representative"])
+    # exactly one representative per cluster; at least the two planted
+    # duplicates are dropped (organic near-dups in the sample may add more)
+    per_cluster = cl.groupby("cluster").is_representative.sum()
+    assert (per_cluster == 1).all()
+    assert int(cl.is_representative.sum()) <= 40
+
+
+def test_ivf_indexed_equals_memory_and_prunes(spark, tmp_path):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    ed = e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    assigned, centers = X.ivf_index(ed, nlist=8)
+    path = str(tmp_path / "ivf")
+    X.write_ivf_index(assigned, path)
+    mem = X.ann_ivf_search(assigned, centers, qvec, k=10, nprobe=2).toPandas()
+    idx = X.ann_ivf_indexed(spark, path, centers, qvec, k=10, nprobe=2)
+    assert idx.toPandas().values.tolist() == mem.values.tolist()
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_cell" in plan.split("PartitionFilters", 1)[1][:200]
