@@ -135,6 +135,18 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
         t0 = time.time()
         X.lsh_candidate_pairs(docs).count()
         out["sec"] = round(time.time() - t0, 3)
+    elif name == "dedup_cluster":
+        # the END-TO-END dedup pipeline: candidates -> jaccard verify ->
+        # connected components -> one representative per cluster
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        X.near_dup_clusters(docs.limit(64)).count()  # warmup
+        t0 = time.time()
+        out["survivors"] = (
+            X.near_dup_clusters(docs, jaccard_threshold=0.8)
+            .filter("is_representative")
+            .count()
+        )
+        out["sec"] = round(time.time() - t0, 3)
     elif name == "ann_topk":
         from pyspark.sql import functions as F
 
@@ -153,7 +165,7 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
     return out
 
 
-HEADLINE = ("extract", "search", "search_idx", "dedup_lsh", "ann_topk")
+HEADLINE = ("extract", "search", "search_idx", "dedup_lsh", "dedup_cluster", "ann_topk")
 TRIALS = int(os.environ.get("QS_BENCH_TRIALS", "3"))
 
 
@@ -181,11 +193,13 @@ def main_bench() -> None:
             secs.append(last["sec"])
         med = round(statistics.median(secs), 3)
         trials[name] = secs
-        if name == "search_idx":
+        if name in ("search_idx", "dedup_cluster"):
             # reported separately: keeps `value` (sum of the original four)
             # comparable round-over-round while still measuring the pruned
-            # postings path
-            extras["search_idx_sec"] = med
+            # postings path / the end-to-end clustering pipeline
+            extras[f"{name}_sec"] = med
+            if name == "dedup_cluster":
+                extras["dedup_survivors"] = last.get("survivors")
             continue
         queries[name] = med
         if name == "extract":
