@@ -99,6 +99,18 @@ def delete_versions(
     return reg_keep, spans_keep, postings.filter(pcond)
 
 
+def get_file_status(registry: DataFrame, uid: str, doc_id: str) -> str:
+    """T2 status-check route (quanta-search-api/router/api.py:537-586 ->
+    utils/util.py:147-163): per-(uid, doc) processing status, 'Not Found'
+    when the doc is absent.  A point lookup — on a real table this prunes to
+    one partition; here it is one filtered head()."""
+    cond = F.col("doc_id") == doc_id
+    if "uid" in registry.columns:
+        cond = cond & (F.col("uid") == uid)
+    row = registry.filter(cond).select("status").head()
+    return row["status"] if row and row["status"] is not None else "Not Found"
+
+
 def resolve_status(registry: DataFrame, results: DataFrame) -> DataFrame:
     """T2/J3: Processing -> Success/Failed write-back by doc_id equi-join."""
     return registry.join(

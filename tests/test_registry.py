@@ -143,3 +143,18 @@ def test_version_scoped_delete_keeps_other_versions_postings(spark):
     assert set(left[left.document_id == "d1"].version_id) == {2}
     assert set(left[left.document_id == "d1"].term) == {"alpha", "gamma"}
     assert (left[left.document_id == "d2"].version_id == 1).all()
+
+
+def test_get_file_status_point_lookup(spark):
+    """status_check route parity: per-(uid, doc) status, 'Not Found' when
+    absent (reference utils/util.py:147-163)."""
+    from qs_spark.registry import get_file_status
+
+    reg = spark.createDataFrame(
+        [("u1", "d1", "Processing"), ("u1", "d2", "Success"), ("u2", "d3", "Failed")],
+        "uid string, doc_id string, status string",
+    )
+    assert get_file_status(reg, "u1", "d1") == "Processing"
+    assert get_file_status(reg, "u2", "d3") == "Failed"
+    assert get_file_status(reg, "u1", "d3") == "Not Found"  # other tenant's doc
+    assert get_file_status(reg, "u1", "nope") == "Not Found"
