@@ -82,6 +82,94 @@ def stream_extract(
     return writer.start()
 
 
+def stream_update_index(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    postings_dir: str,
+    checkpoint_dir: str,
+    chunk_size: int = 102400,
+    trigger_once: bool = True,
+    n_buckets: int | None = None,
+):
+    """Streaming index maintenance — the reference's IndexUpdateEvent
+    (quanta-search-consumer/core/file_upload.py:362-476) as a continuous
+    operator: each arriving micro-batch of docs is extracted, its store rows
+    appended, and its postings appended INTO THE SAME term-bucket layout
+    write_postings creates — so the partition-pruned lookup path
+    (search.lookup_postings) immediately serves queries over freshly
+    streamed documents.  At-least-once appends are made harmless by
+    postings_dedup_on_read (latest batch wins per (row_id, pos)) — the T5
+    contract, same as the spans stream."""
+    from pyspark.sql import types as T
+
+    from qs_spark.search import POSTINGS_BUCKETS, build_postings
+    from qs_spark.store import build_store
+
+    n_buckets = n_buckets or POSTINGS_BUCKETS
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("text", T.StringType()),
+                            T.StructField("media_ref", T.StringType()),
+                            T.StructField("offset", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        store = build_store(extract_spans(batch_df, chunk_size=chunk_size))
+        store.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            store_dir
+        )
+        (
+            # postings derive from the just-written durable rows (filtered to
+            # this batch): no second extraction pass and no cache to manage
+            build_postings(spark.read.parquet(store_dir).filter(F.col("batch_id") == batch_id))
+            .withColumn(
+                "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .repartition(n_buckets, F.col("term_bucket"))
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(postings_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = writer.trigger(availableNow=True) if trigger_once else writer.trigger(
+        processingTime="10 seconds"
+    )
+    return writer.start()
+
+
+def postings_dedup_on_read(postings: DataFrame) -> DataFrame:
+    """Exactly-once-effective view of streamed postings appends: latest
+    batch_id wins per (row_id, pos)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("row_id", "pos").orderBy(F.desc("batch_id"))
+    return (
+        postings.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )
+
+
 def dedup_on_read(spans: DataFrame) -> DataFrame:
     """Exactly-once-effective view over at-least-once appends: latest
     batch_id wins per (doc_id, order) — replayed micro-batches vanish."""

@@ -285,3 +285,36 @@ def test_stateful_first_seen_bloom_state(spark, tmp_path):
     got2 = run_once("b2")
     assert not any(d.startswith("r") for d in got2)
     assert got2 <= {"n"}
+
+
+def test_stream_update_index_serves_pruned_lookups(spark, tmp_path):
+    """Streaming index maintenance (IndexUpdateEvent analog): streamed docs
+    become lookup-able through the bucket-pruned postings path, and a
+    replayed batch vanishes under postings_dedup_on_read."""
+    from pyspark.sql import functions as F
+
+    from qs_spark.search import lookup_postings
+    from qs_spark.streaming import postings_dedup_on_read, stream_update_index
+
+    in_dir, st_dir = str(tmp_path / "in"), str(tmp_path / "store")
+    po_dir, ck = str(tmp_path / "postings"), str(tmp_path / "ck")
+    corpus_df(spark, 30).write.mode("overwrite").parquet(in_dir)
+    stream_update_index(spark, in_dir, st_dir, po_dir, ck, n_buckets=16).awaitTermination(180)
+
+    # a term from a streamed doc is reachable via the pruned lookup
+    store = spark.read.parquet(st_dir)
+    some_term = (
+        store.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") > 3).first().t
+    )
+    hits = lookup_postings(spark, po_dir, [some_term], n_buckets=16)
+    assert hits.count() > 0
+    before = postings_dedup_on_read(spark.read.parquet(po_dir)).count()
+
+    # replay: the SAME docs arrive again as a new file -> new micro-batch
+    corpus_df(spark, 30).write.mode("append").parquet(in_dir)
+    stream_update_index(spark, in_dir, st_dir, po_dir, ck, n_buckets=16).awaitTermination(180)
+    raw = spark.read.parquet(po_dir)
+    deduped = postings_dedup_on_read(raw)
+    assert deduped.count() == before  # replays vanish
+    assert raw.count() > before  # but were really appended
