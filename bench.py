@@ -13,6 +13,8 @@ Headline queries:
   search_idx   same query through the bucket-partitioned postings table
                (partition-pruned lookup; index build untimed/amortized)
   dedup_lsh    MinHash+LSH candidate pairs over documents.parquet
+  dedup_cluster  END-TO-END dedup: candidates -> jaccard verify -> connected
+               components -> representatives (reported separately)
   ann_topk     brute-force cosine top-10 over embeddings.parquet
 
 Scaling evidence (north rule: N->4N efficiency >= 0.8): run
