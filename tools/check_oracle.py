@@ -49,9 +49,16 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, os_ = E.queries(), E.oracle_sql()
+    # golden VALUES oracles are pinned to the 500-doc corpus scale
+    # (sf0.001 == sf0.01 == 500 rows); at other scales skip them instead of
+    # reporting a spurious mismatch
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
     fails = []
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
+            continue
+        if name in os_ and "VALUES" in os_[name] and n_docs != 500:
+            print(f"skip {name}: golden oracle pinned to 500-doc scale (here {n_docs})")
             continue
         t0 = time.time()
         try:
