@@ -93,15 +93,23 @@ class ParquetCatalog:
         cur = self.read(spark, table)
         self._rewrite(cur.filter(~condition), table)
 
-    def _rewrite(self, df: DataFrame, table: str):
+    def _rewrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
         stage = self.path(table) + ".__stage__"
-        df.write.mode("overwrite").parquet(stage)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(stage)
+        self._swap_stage(table)
+
+    def _swap_stage(self, table: str) -> None:
+        """Atomic-ish publish of a staged rewrite (two renames; _recover
+        handles a crash between them)."""
         final = self.path(table)
         backup = final + ".__old__"
         if os.path.isdir(backup):
             shutil.rmtree(backup)
         os.rename(final, backup)
-        os.rename(stage, final)
+        os.rename(final + ".__stage__", final)
         shutil.rmtree(backup)
 
     def compact(self, spark: SparkSession, table: str, target_files: int = 8):

@@ -106,6 +106,28 @@ def write_postings(store: DataFrame, path: str, n_buckets: int = POSTINGS_BUCKET
     )
 
 
+def compact_postings(spark, path: str, n_buckets: int = POSTINGS_BUCKETS) -> None:
+    """The reference's periodic index 'optimize'
+    (quanta-search-consumer/core/file_upload.py:411-412,441-442: every 1000
+    docs) as table maintenance — the Iceberg rewrite_data_files analog for
+    the bucket-partitioned postings layout.  Streaming appends
+    (streaming.stream_update_index) add one file per micro-batch per bucket;
+    lookup planning cost grows with file count, so compaction rewrites each
+    bucket back to a single file.  Rows are preserved verbatim (any
+    batch_id column included — the dedup-on-read view stays correct);
+    crash-safe via ParquetCatalog's staged two-rename swap + _recover."""
+    import os
+
+    from qs_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(os.path.dirname(path.rstrip("/")))
+    table = os.path.basename(path.rstrip("/"))
+    df = cat.read(spark, table).repartition(n_buckets, F.col("term_bucket"))
+    stage = cat.path(table) + ".__stage__"
+    df.write.mode("overwrite").partitionBy("term_bucket").parquet(stage)
+    cat._swap_stage(table)
+
+
 def lookup_postings(spark, path: str, terms: list[str], n_buckets: int = POSTINGS_BUCKETS) -> DataFrame:
     """Partition-pruned posting lookup for a term set."""
     buckets = [

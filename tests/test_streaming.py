@@ -318,3 +318,42 @@ def test_stream_update_index_serves_pruned_lookups(spark, tmp_path):
     deduped = postings_dedup_on_read(raw)
     assert deduped.count() == before  # replays vanish
     assert raw.count() > before  # but were really appended
+
+
+def test_compact_postings_preserves_lookups(spark, tmp_path):
+    """Index 'optimize' parity: after two streamed batches each bucket holds
+    multiple files; compaction rewrites to one file per bucket and the
+    deduped lookup result is unchanged."""
+    import os
+
+    from qs_spark.search import compact_postings, lookup_postings
+    from qs_spark.streaming import postings_dedup_on_read, stream_update_index
+
+    in_dir, st_dir = str(tmp_path / "in"), str(tmp_path / "store")
+    po_dir, ck = str(tmp_path / "postings"), str(tmp_path / "ck")
+    corpus_df(spark, 20).write.mode("overwrite").parquet(in_dir)
+    stream_update_index(spark, in_dir, st_dir, po_dir, ck, n_buckets=8).awaitTermination(180)
+    corpus_df(spark, 20).write.mode("append").parquet(in_dir)  # replay batch
+    stream_update_index(spark, in_dir, st_dir, po_dir, ck, n_buckets=8).awaitTermination(180)
+
+    def files_per_bucket():
+        counts = {}
+        for d in os.listdir(po_dir):
+            if d.startswith("term_bucket="):
+                counts[d] = len([f for f in os.listdir(os.path.join(po_dir, d)) if f.endswith(".parquet")])
+        return counts
+
+    before_files = files_per_bucket()
+    assert max(before_files.values()) > 1  # sliver files from two batches
+    before = postings_dedup_on_read(spark.read.parquet(po_dir)).toPandas()
+    compact_postings(spark, po_dir, n_buckets=8)
+    after_files = files_per_bucket()
+    assert max(after_files.values()) == 1
+    after = postings_dedup_on_read(spark.read.parquet(po_dir)).toPandas()
+    key = ["row_id", "pos"]
+    assert before.sort_values(key).reset_index(drop=True).equals(
+        after[before.columns].sort_values(key).reset_index(drop=True)
+    )
+    # pruned lookup still works against the compacted layout
+    some_term = before.iloc[0]["term"]
+    assert lookup_postings(spark, po_dir, [some_term], n_buckets=8).count() > 0
