@@ -855,6 +855,46 @@ def text_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_filter(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    max_punct_ratio: float = 0.2,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """C4/Gopher-style corpus cleaning as ONE declarative pass: attach
+    keep/drop with a drop_reason, composing the quality / lang-id /
+    token-count primitives (their per-column definitions are individually
+    driver-oracled via q25/q26/q02).  All metrics are row-local expressions;
+    the per-primitive projections join back on doc_id (equi-joins Catalyst
+    plans as broadcast/AQE shuffles of slim metric columns — the text never
+    moves twice).  Filter on `keep` to materialize the cleaned corpus.
+    Reasons apply in a fixed precedence so every dropped doc has exactly
+    one."""
+    q = text_quality(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", F.col("quality").alias("q_score")
+    )
+    lang = lang_id(docs).select("doc_id", "lang_pred")
+    out = docs.join(q, "doc_id").join(lang, "doc_id")
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(F.col("punct_ratio") > max_punct_ratio, "punctuation")
+        .when(~F.col("lang_pred").isin(*langs), "language")
+        .when(F.col("q_score") < min_quality, "low_quality")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "lang_pred",
+        "q_score",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish subword estimate (alnum runs + ceil(len/4)
     per run, a standard ~4-chars-per-token heuristic)."""

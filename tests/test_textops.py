@@ -399,3 +399,20 @@ def test_ivf_indexed_equals_memory_and_prunes(spark, tmp_path):
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "_cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_corpus_filter_single_reason_precedence(spark):
+    """C4-style cleaning: every dropped doc gets exactly one reason in the
+    documented precedence; keep == no reason; planted cases hit each rule."""
+    rows = [
+        (1, "short doc"),                                         # too_short
+        (2, "!!! ??? ... " * 20),                                 # punctuation
+        (3, "el que la de que los se una con por y el que la de"),  # language (es)
+        (4, "the a of and to in is it that for " * 5),            # clean en
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    out = X.corpus_filter(d).toPandas().set_index("doc_id")
+    assert out.loc[1, "drop_reason"] == "too_short" and not out.loc[1, "keep"]
+    assert out.loc[2, "drop_reason"] == "punctuation"
+    assert out.loc[3, "drop_reason"] == "language"
+    assert out.loc[4, "drop_reason"] is None and bool(out.loc[4, "keep"])
