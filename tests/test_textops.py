@@ -416,3 +416,20 @@ def test_corpus_filter_single_reason_precedence(spark):
     assert out.loc[2, "drop_reason"] == "punctuation"
     assert out.loc[3, "drop_reason"] == "language"
     assert out.loc[4, "drop_reason"] is None and bool(out.loc[4, "keep"])
+
+
+def test_new_ops_hostile_edges(spark):
+    """Empty/degenerate inputs must not crash the new operators."""
+    empty_pairs = spark.createDataFrame([], "doc_a int, doc_b int")
+    assert X.connected_components(empty_pairs).count() == 0
+    one_doc = spark.createDataFrame([(1, "only doc here")], "doc_id int, text string")
+    cl = X.near_dup_clusters(one_doc).toPandas()
+    assert len(cl) == 1 and bool(cl.iloc[0].is_representative)
+    # null text flows through corpus_filter without crashing
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "the a of and to in is it that for " * 3)],
+        "doc_id int, text string",
+    )
+    out = X.corpus_filter(nulls).toPandas().set_index("doc_id")
+    assert not bool(out.loc[1, "keep"])  # null text never survives cleaning
+    assert bool(out.loc[2, "keep"])
