@@ -840,8 +840,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             reg.groupBy("doc_id")
             .agg(
+                # sort version_ids NUMERICALLY, then cast (a lexicographic
+                # sort of the strings would emit '0,1,10,2' once a doc
+                # reaches version 10 while the oracle's ORDER BY version_id
+                # is numeric — r03 ADVICE)
                 F.concat_ws(
-                    ",", F.sort_array(F.collect_list(F.col("version_id").cast("string")))
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("version_id")),
+                        lambda v: v.cast("string"),
+                    ),
                 ).alias("versions"),
                 F.count("*").alias("n_versions"),
                 F.max("current_version").cast("int").alias("current_version"),
@@ -1443,7 +1451,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ANN-LSH multiprobe over the signature-partitioned index: the closed-form
-    # hyperplanes (_hyperplane: component d of plane i = ((i*31+d*17)%13)-6)
+    # hyperplanes (_hyperplane: component d of plane i =
+    # (((i*73856093 + d*19349663) % 2039) % 21) - 10, the prime-mix spatial
+    # hash — keep in sync with textops._hyperplane and dot_exprs below)
     # and the Lv et al. probe order (flip lowest-|margin| bits first) are both
     # reproducible in SQL; dot products fold left-to-right in both engines
     # (same IEEE result — the q24 precedent).

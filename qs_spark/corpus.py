@@ -254,35 +254,51 @@ def corpus_df(spark, n_docs: int):
 
 
 def corpus_parquet(spark, n_docs: int, path: str | None = None, n_buckets: int | None = None):
-    """Materialize the corpus as a doc_id-bucketed parquet table and return a
+    """Materialize the corpus as a parquet table partitioned by `size_class`
+    (mega/small) and bucketed by doc_id hash within each class, and return a
     reader DF.
 
-    extract_spans scans its input twice (small + mega branch) — fine on a
-    real table, wasteful on a generator — and the north-rule input is a
-    TABLE of interleaved docs anyway; benchmarks measure extraction from
-    storage, not generation.
+    The north-rule input is a TABLE of interleaved docs; benchmarks measure
+    extraction from storage, not generation.  The layout is the parquet
+    stand-in for an Iceberg table with a hidden `size_class` partition and a
+    `bucket(doc_id)` distribution:
 
-    The write salted-repartitions on xxhash64(doc_id) into n_buckets files —
-    the parquet stand-in for an Iceberg `bucket(doc_id)` table layout.  A
-    bucketed layout moves the "salted repartition" to WRITE time: extraction
-    then scans co-located, size-balanced splits and needs no per-job shuffle
-    of raw payloads (extract_spans(..., repartition_input=False)).
+      - size_class partitioning makes extract_spans' mega/small routing
+        METADATA-ONLY: each branch's filter prunes to its own directory, so
+        the full payload is scanned+decoded exactly once per job (the
+        derived-filter alternative re-decoded every byte a second time just
+        to find the ~0.2% mega docs);
+      - bucketing by xxhash64(doc_id) moves the "salted repartition" to
+        WRITE time: extraction scans co-located, size-balanced splits and
+        needs no per-job shuffle of raw payloads
+        (extract_spans(..., repartition_input=False)).
     """
     import os
 
     from pyspark.sql import functions as F
 
+    from qs_spark.extract import SIZE_CLASS_COL, with_size_class
+
     # ~128-384 docs per bucket file: enough task granularity for fine waves,
     # big enough to amortize per-file open cost
     n_buckets = n_buckets or max(8, min(512, n_docs // 256))
-    path = path or f"/tmp/qs_corpus_v{CORPUS_VERSION}_{n_docs}.parquet"
-    # a crashed write leaves a partial dir — only a _SUCCESS-marked
+    path = path or f"/tmp/qs_corpus_v{CORPUS_VERSION}_{n_docs}_sc.parquet"
+    # a crashed write leaves a partial dir — only a fully _SUCCESS-marked
     # materialization may be served from cache
-    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        (
-            corpus_df(spark, n_docs)
-            .repartition(n_buckets, F.xxhash64("doc_id"))
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+    done = all(
+        os.path.isfile(os.path.join(path, f"{SIZE_CLASS_COL}={cls}", "_SUCCESS"))
+        for cls in ("small", "mega")
+    )
+    if not done:
+        base = with_size_class(corpus_df(spark, n_docs))
+        # megas are ~0.2% of docs: give them their own (small) bucket count
+        # so the mega partition isn't shredded into n_buckets sliver files
+        for cls, nb in (("small", n_buckets), ("mega", max(4, n_buckets // 64))):
+            (
+                base.filter(F.col(SIZE_CLASS_COL) == cls)
+                .drop(SIZE_CLASS_COL, "fmt")
+                .repartition(nb, F.xxhash64("doc_id"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, f"{SIZE_CLASS_COL}={cls}"))
+            )
     return spark.read.parquet(path)

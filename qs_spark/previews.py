@@ -99,11 +99,19 @@ def search_with_previews(
 
     # Score + threshold JVM-side FIRST (F10, P7; shared with search_rank via
     # score_per_file): the pandas preview kernel then only runs over rows of
-    # the (usually few) surviving files — the reference also previews only
-    # above-threshold files (file_searcher.py:327-341).
+    # the surviving files — the reference also previews only above-threshold
+    # files (file_searcher.py:327-341).
+    #
+    # NO broadcast hint on survivors: in OR mode P7 never filters (BASE_SCORE
+    # 0.7 > cutoff 0.655, reference constants load_envs.py:33-40), so
+    # `survivors` is EVERY matching file — millions of rows at corpus scale,
+    # and a forced broadcast would OOM the driver.  Unhinted, AQE broadcasts
+    # it when it is actually small and shuffle-joins on document_name when it
+    # is not; either way the preview kernel's groupBy reuses the same
+    # document_name partitioning, so the join adds no extra exchange.
     survivors = S.score_per_file(rows)
     surviving_rows = rows.select("document_name", "document_id", "page_no", "text").join(
-        F.broadcast(survivors), "document_name"
+        survivors, "document_name"
     )
 
     def per_file_previews(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -385,8 +385,11 @@ def bm25l_phrase(store: DataFrame, terms: list[str], k1=1.2, b=0.75, delta=0.5) 
         idf    = ln((N+1)/(df+0.5))
 
     Phrase tf counts every positional-adjacency occurrence, INCLUDING
-    immediately adjacent repetitions (" data table data table " = tf 2 — the
-    r02-documented undercount is gone).  Trick, oracle-compatible without
+    immediately adjacent back-to-back repetitions (" data table data table "
+    = tf 2 — the r02-documented undercount is gone).  Occurrences that SHARE
+    tokens (a self-overlapping phrase: terms=['a','a'] against 'a a a')
+    still count once — replace() consumes its match, identically in Spark
+    and DuckDB, so parity holds.  Trick, oracle-compatible without
     regex lookahead: DOUBLE every token separator first.  In the doubled
     string each original boundary space becomes two, and a phrase written
     with doubled internal separators but single edge spaces

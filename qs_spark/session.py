@@ -43,11 +43,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # extraction rows are fat (whole documents): 1024 balances Arrow
-        # round-trip overhead (measured ~15% faster than 256 on the 100k-doc
-        # extraction) against per-batch memory (<=~50 MB of doc text, and
-        # mega docs are pre-split so no single row is unbounded)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # extraction rows are fat (whole documents): 8192 balances Arrow
+        # round-trip overhead (measured: the JVM row->Arrow conversion of the
+        # nested spans column is the exchange floor, ~15% cheaper at 8192
+        # than 1024 on the 100k-doc corpus) against per-batch memory (a few
+        # hundred MB of doc text worst case; mega docs are pre-split so no
+        # single row is unbounded)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.driver.memory", os.environ.get("QS_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

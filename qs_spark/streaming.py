@@ -98,8 +98,9 @@ def stream_update_index(
     appended, and its postings appended INTO THE SAME term-bucket layout
     write_postings creates — so the partition-pruned lookup path
     (search.lookup_postings) immediately serves queries over freshly
-    streamed documents.  At-least-once appends are made harmless by
-    postings_dedup_on_read (latest batch wins per (row_id, pos)) — the T5
+    streamed documents.  At-least-once appends AND re-streamed updates are
+    made harmless by postings_dedup_on_read (the document's latest batch
+    wins whole — a changed doc's stale surplus rows drop out too) — the T5
     contract, same as the spans stream."""
     from pyspark.sql import types as T
 
@@ -157,30 +158,48 @@ def stream_update_index(
     return writer.start()
 
 
-def postings_dedup_on_read(postings: DataFrame) -> DataFrame:
-    """Exactly-once-effective view of streamed postings appends: latest
-    batch_id wins per (row_id, pos)."""
+def _latest_batch_per_doc(df: DataFrame, doc_col: str, natural_key: list[str]) -> DataFrame:
+    """DOCUMENT-granularity exactly-once view over at-least-once appends:
+    only rows from the document's LATEST batch survive, then physical
+    duplicates within that batch (a foreachBatch retry re-appends the same
+    batch_id) collapse on the natural key.
+
+    Document granularity matters for real UPDATES, not just replays (r03
+    ADVICE): if a doc is re-streamed with changed content that yields FEWER
+    rows or shorter positions, a per-(row, pos) latest-wins dedup keeps the
+    old version's surplus rows serving stale terms; keying the cutoff on the
+    whole document drops them.  One hash-partitioned window on the doc id —
+    same shuffle count as the old per-row form, coarser (fewer, larger)
+    groups."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("row_id", "pos").orderBy(F.desc("batch_id"))
+    w = Window.partitionBy(doc_col)
     return (
-        postings.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "batch_id")
+        df.withColumn("_mx", F.max("batch_id").over(w))
+        .filter(F.col("batch_id") == F.col("_mx"))
+        .drop("_mx", "batch_id")
+        .dropDuplicates(natural_key)
     )
+
+
+def postings_dedup_on_read(postings: DataFrame) -> DataFrame:
+    """Exactly-once-effective view of streamed postings appends: the
+    document's latest batch wins WHOLE (stale surplus row_ids/positions from
+    superseded versions drop out), then (row_id, pos) collapses same-batch
+    physical replays."""
+    return _latest_batch_per_doc(postings, "document_id", ["row_id", "pos"])
+
+
+def store_dedup_on_read(store: DataFrame) -> DataFrame:
+    """Same view for streamed store rows (document_id granularity)."""
+    return _latest_batch_per_doc(store, "document_id", ["row_id"])
 
 
 def dedup_on_read(spans: DataFrame) -> DataFrame:
-    """Exactly-once-effective view over at-least-once appends: latest
-    batch_id wins per (doc_id, order) — replayed micro-batches vanish."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id", "order").orderBy(F.desc("batch_id"))
-    return (
-        spans.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "batch_id")
-    )
+    """Exactly-once-effective view over at-least-once span appends: the
+    doc's latest batch wins whole, then (doc_id, order) collapses same-batch
+    physical replays."""
+    return _latest_batch_per_doc(spans, "doc_id", ["doc_id", "order"])
 
 
 _FIRST_SEEN_OUT = "doc_id string, fingerprint bigint, bucket int"

@@ -108,7 +108,14 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
     def kernel(batches):
         import pandas as pd
 
-        ws = _re.compile(r"\s+")
+        # re.ASCII: Java/RE2 \s is the ASCII class [ \t\n\x0B\f\r]; without
+        # the flag Python \s also eats \xa0/  etc., so on non-ASCII text
+        # the kernel's shingles would diverge from the JVM-expr form (and the
+        # fingerprints it is semi-joined against) — r03 ADVICE.  Residual
+        # caveat: str.lower() vs the JVM's UTF8String lowercasing can still
+        # differ on a handful of locale-ish codepoints (e.g. Turkish İ);
+        # normalize upstream if the corpus carries them.
+        ws = _re.compile(r"\s+", _re.ASCII)
         for pdf in batches:
             ids, cols = [], [[] for _ in range(k)]
             for did, text in zip(pdf["doc_id"], pdf["text"]):

@@ -90,3 +90,32 @@ def test_determinism_across_partitionings(spark):
     a = _canon(extract_spans(df, num_partitions=4).toPandas())
     b = _canon(extract_spans(df, num_partitions=64).toPandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_size_class_partitioned_table_routes_identically(spark, tmp_path):
+    """The size_class partition column (Iceberg hidden-partitioning analog,
+    written by corpus_parquet) must be a pure routing optimization: output
+    identical to the derived-filter path, with BOTH branches exercised, and
+    the branch filters pruned to partition directories (PartitionFilters in
+    the scan, not a post-decode size() predicate)."""
+    from qs_spark.corpus import corpus_parquet
+    from qs_spark.extract import SIZE_CLASS_COL
+
+    path = str(tmp_path / "sc_corpus.parquet")
+    table = corpus_parquet(spark, 600, path=path)
+    assert SIZE_CLASS_COL in table.columns
+    # both partitions materialized (doc 175 is a 400-page mega)
+    assert table.filter(f"{SIZE_CLASS_COL} = 'mega'").count() > 0
+    got = _canon(extract_spans(table, repartition_input=False).toPandas())
+    want = _canon(
+        extract_spans(table.drop(SIZE_CLASS_COL)).toPandas()
+    )  # derived-filter path
+    pd.testing.assert_frame_equal(got, want)
+    # partition pruning is visible in the physical plan of each branch
+    plan = (
+        table.filter(f"{SIZE_CLASS_COL} = 'mega'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "size_class" in plan

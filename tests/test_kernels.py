@@ -277,49 +277,86 @@ def test_html_implied_end_tags_and_flush():
     assert extract_main("<p>intro<h2>head</h2>") == ["intro", "head"]
 
 
-def test_stitch_collapses_part_errors():
+def test_stitch_collapses_part_errors(spark):
     # mega-doc split path: one failing part => whole doc fails with a single
-    # order=-1 error span, identical to safe_extract_doc's whole-doc contract
-    import pandas as pd
-
+    # order=-1 error span, identical to safe_extract_doc's whole-doc
+    # contract; healthy sibling docs renumber by (part_k, local_order)
     from qs_spark.extract import _stitch
 
-    pdf = pd.DataFrame(
-        {
-            "doc_id": ["d"] * 3,
-            "part_k": [0, 1, 1],
-            "local_order": [0, -1, 0],
-            "kind": ["pdf_text", "error", "pdf_text"],
-            "text": ["a", "Boom: x", "b"],
-            "media_ref": ["", "", ""],
-            "fmt": ["pdf"] * 3,
-        }
+    parts = spark.createDataFrame(
+        [
+            ("d", 0, 0, "pdf_text", "a", "", "pdf"),
+            ("d", 1, -1, "error", "Boom: x", "", "pdf"),
+            ("d", 1, 0, "pdf_text", "b", "", "pdf"),
+            ("e", 1, 0, "pdf_text", "q", "", "pdf"),
+            ("e", 0, 0, "pdf_text", "p", "", "pdf"),
+        ],
+        "doc_id string, part_k int, local_order int, kind string, "
+        "text string, media_ref string, fmt string",
     )
-    out = _stitch(pdf)
-    assert len(out) == 1
-    assert out.iloc[0]["kind"] == "error" and out.iloc[0]["order"] == -1
+    out = {(r.doc_id, r.order): r for r in _stitch(parts).collect()}
+    assert len(out) == 3
+    assert out[("d", -1)].kind == "error" and out[("d", -1)].text == "Boom: x"
+    assert out[("e", 0)].text == "p" and out[("e", 1)].text == "q"
 
 
 def test_chunker_float_frames_stay_byte_equal():
     """r02 ADVICE (high): pandas formats float columns per printed sub-frame
     ('1.5' in a chunk of only 1.5-style values, '1.50' in the full frame), so
-    the frozen-formatting formula path must REJECT float frames and fall back
-    to real per-slice to_string.  This frame diverged at chunk 11 pre-fix."""
+    no frozen cell projection is slice-stable for float64 — float frames take
+    the hint+probe path (prediction CONFIRMED by real to_string probes).
+    This frame diverged at chunk 11 under the pre-r03 formula path."""
     import pandas as pd
 
     from qs_spark.kernels.sheet_kernel import (
-        _as_string_frame,
+        _fast_cells,
         chunk_frame,
         chunk_frame_reference,
     )
 
     df = pd.DataFrame({"a": [1.25] * 64 + [1.5] * 136, "b": ["x"] * 200})
-    assert _as_string_frame(df) is None  # float frames rejected from formula
+    assert _fast_cells(df) is None  # float frames rejected from the fast path
     assert chunk_frame(df, 400) == chunk_frame_reference(df, 400)
-    # slice-stable dtypes (int/bool/object) still take the formula path
+    # slice-stable dtypes (int/bool/object) still take the fast path
     df2 = pd.DataFrame({"a": range(200), "b": [True, False] * 100, "c": ["yy"] * 200})
-    assert _as_string_frame(df2) is not None
+    assert _fast_cells(df2) is not None
     assert chunk_frame(df2, 400) == chunk_frame_reference(df2, 400)
+
+
+def test_chunker_float_hint_matches_reference():
+    """The float-hint path (closed-form predicted boundary + probe confirm)
+    must be byte-equal to the reference on decimal-varying, sign-varying and
+    scientific-fallback frames (the last rejects the hint and gallops)."""
+    import pandas as pd
+
+    from qs_spark.kernels.sheet_kernel import (
+        _float_hint_matrices,
+        chunk_frame,
+        chunk_frame_reference,
+    )
+
+    df = pd.DataFrame(
+        {
+            "f": [1.5, 1.25, 1000.125, -2.0, 0.0, 3.14159265] * 40,
+            "g": [2.0, -0.5, 8.25, 123456.75, 0.001, 123.456] * 40,
+            "s": ["ab", "c", "dd", "e", "ff", "g"] * 40,
+        }
+    )
+    assert _float_hint_matrices(df) is not None
+    assert chunk_frame(df, 500) == chunk_frame_reference(df, 500)
+    # scientific-notation triggers (tiny / huge values) reject the hint but
+    # the probe fallback still matches byte-for-byte
+    df2 = pd.DataFrame({"f": [1e-7, 1.5, 2.5] * 30, "s": ["x", "yy", "z"] * 30})
+    assert _float_hint_matrices(df2) is None
+    assert chunk_frame(df2, 300) == chunk_frame_reference(df2, 300)
+    df3 = pd.DataFrame({"f": [1e9, 1.5] * 30})
+    assert _float_hint_matrices(df3) is None
+    assert chunk_frame(df3, 200) == chunk_frame_reference(df3, 200)
+    # 1e7 renders fixed at 15 chars (> digits+6): pandas flips the printed
+    # slice to scientific -> hint must refuse, gallop must still match
+    df4 = pd.DataFrame({"f": [1e7, 2.5] * 30})
+    assert _float_hint_matrices(df4) is None
+    assert chunk_frame(df4, 250) == chunk_frame_reference(df4, 250)
 
 
 def test_html_nested_table_keeps_outer_row():

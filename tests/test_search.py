@@ -141,6 +141,26 @@ def test_preview_limit_and_boost(spark):
         assert (with_prev["relavence_score"] >= 90.0 - 1e-9).all()
 
 
+def test_preview_survivors_not_force_broadcast(spark):
+    """r03 VERDICT #2: in OR mode P7 never filters (BASE_SCORE 0.7 > cutoff
+    0.655), so `survivors` is every matching file — a static broadcast hint
+    on it would OOM at corpus scale.  The equi-join on document_name must be
+    UNHINTED (AQE decides at runtime from actual size).  The 1-row n_files
+    scalar rides a crossJoin and is legitimately hinted — only the
+    document_name join lines are checked."""
+    st = _store(spark)
+    opt = (
+        search_with_previews(st, "spark vector")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    bad = [
+        ln
+        for ln in opt.splitlines()
+        if "Join Inner" in ln and "document_name" in ln and "strategy=broadcast" in ln
+    ]
+    assert bad == []
+
+
 def test_postings_table_partition_pruning(spark, tmp_path):
     path = str(tmp_path / "postings")
     st = _store(spark)
@@ -207,13 +227,38 @@ def test_search_rank_postings_path_equals_scan(spark, tmp_path):
     assert scan.equals(pruned)
 
 
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes that move ALL rows to one partition.  A partitioned
+    Window prints `Window [exprs], [partCols], [orderCols]` (two `], [`
+    separators); an unpartitioned ordered one prints
+    `Window [exprs], [orderCols]`, and a partitioned unordered one
+    `Window [exprs], [partCols]` — the two-group forms differ in whether the
+    trailing group carries sort directions.  The scalar one-row aggregates
+    (n_files) legitimately use Exchange SinglePartition after partial
+    aggregation, so that string is NOT the right predicate."""
+    out = []
+    for ln in plan.splitlines():
+        if "Window [" not in ln:
+            continue
+        if ln.count("], [") >= 2:
+            continue  # 3-group form: explicitly partitioned
+        tail = ln.rsplit("], [", 1)[-1]
+        if " ASC" in tail or " DESC" in tail:
+            out.append(ln)  # trailing group is an ORDERING -> no partition
+    return out
+
+
 def test_score_per_file_no_single_partition_window(spark):
+    # n_files is a broadcast scalar and scoring never funnels all rows into
+    # one partition.  (The store's lineage carries doc_id-PARTITIONED
+    # windows from the mega-doc stitch — those scale fine; the killer is an
+    # unpartitioned window.)
     st = _store(spark)
     plan = (
         S.search_rank(st, "spark vector")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Window" not in plan  # n_files is a broadcast scalar now
+    assert _unpartitioned_windows(plan) == []
 
 
 def test_exact_match_postings_path_equals_scan(spark, tmp_path):

@@ -47,6 +47,42 @@ def test_dedup_on_read_kills_replays(spark, tmp_path):
     assert deduped.count() * 2 == raw.count()
 
 
+def test_dedup_on_read_drops_stale_rows_of_updated_doc(spark):
+    """r03 ADVICE (medium): a doc re-streamed with CHANGED content that
+    yields FEWER spans / shorter postings must not keep serving the old
+    version's surplus rows — dedup is document-granular (latest batch wins
+    whole), not per-(row, pos)."""
+    from qs_spark.streaming import postings_dedup_on_read
+
+    spans_v1 = spark.createDataFrame(
+        [("d1", i, "txt", f"v1 tok{i}", "", "txt", 0) for i in range(5)]
+        + [("d2", 0, "txt", "other", "", "txt", 0)],
+        "doc_id string, order int, kind string, text string, media_ref string,"
+        " fmt string, batch_id long",
+    )
+    # v2 of d1 has only 2 spans; d2 untouched
+    spans_v2 = spark.createDataFrame(
+        [("d1", i, "txt", f"v2 tok{i}", "", "txt", 1) for i in range(2)],
+        spans_v1.schema,
+    )
+    got = dedup_on_read(spans_v1.unionByName(spans_v2)).toPandas()
+    d1 = got[got.doc_id == "d1"]
+    assert len(d1) == 2 and set(d1.text) == {"v2 tok0", "v2 tok1"}
+    assert len(got[got.doc_id == "d2"]) == 1
+
+    # same contract on postings: stale (row_id, pos) entries vanish
+    p1 = spark.createDataFrame(
+        [("d1#0", "d1", "f1", 1, p, t, 0) for p, t in enumerate(["old", "stale", "gone"])],
+        "row_id string, document_id string, document_name string, page_no int,"
+        " pos int, term string, batch_id long",
+    )
+    p2 = spark.createDataFrame(
+        [("d1#0", "d1", "f1", 1, 0, "new", 1)], p1.schema
+    )
+    terms = set(postings_dedup_on_read(p1.unionByName(p2)).toPandas().term)
+    assert terms == {"new"}
+
+
 def test_stateful_first_seen_across_restarts(spark, tmp_path):
     """applyInPandasWithState dedup: duplicates suppressed within a run AND
     across a restart (state restored from the streaming checkpoint)."""
