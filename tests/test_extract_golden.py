@@ -92,6 +92,49 @@ def test_determinism_across_partitionings(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_serial_reference_matches_kernels():
+    """r03 VERDICT #3: the golden generator's extraction walk must be
+    INDEPENDENT of qs_spark.kernels.  tools/serial_reference.py re-implements
+    the whole walk (regex-tokenizer HTML machine, O(rows^2) to_string sheet
+    chunker, inline OCR spec); this test pins kernel == independent-reference
+    over a corpus slice that covers every format incl. a mega doc, plus
+    hostile inputs."""
+    import importlib.util
+    import os
+    import sys
+
+    tool_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    sys.path.insert(0, tool_dir)
+    try:
+        import serial_reference as sr
+    finally:
+        sys.path.remove(tool_dir)
+    # independence: the module must not IMPORT from qs_spark.kernels
+    import ast
+    import inspect
+
+    tree = ast.parse(inspect.getsource(sr))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            assert not any(a.name.startswith("qs_spark") for a in node.names)
+        elif isinstance(node, ast.ImportFrom):
+            assert not (node.module or "").startswith("qs_spark")
+
+    from qs_spark.corpus import gen_doc
+    from qs_spark.kernels.dispatch import fmt_of_spans, safe_extract_doc
+
+    for i in list(range(500)) + [1000, 1500]:  # 0/1000/1500 include megas; 500 = the golden scale
+        did, spans = gen_doc(i)
+        assert fmt_of_spans(spans) == sr.ref_fmt_of_spans(spans)
+        assert safe_extract_doc(spans, None) == sr.ref_safe_extract_doc(spans, None), did
+    # hostile inputs take the same error/empty paths
+    for spans in ([], [{"kind": "txt", "text": None, "media_ref": "", "offset": 0}],
+                  [{"kind": "csv_rows", "text": "", "media_ref": "", "offset": 0}],
+                  [{"kind": "html", "text": "<p>a<table><tr><td>x</td></table>b</p>",
+                    "media_ref": "", "offset": 0}]):
+        assert safe_extract_doc(spans, None) == sr.ref_safe_extract_doc(spans, None)
+
+
 def test_size_class_partitioned_table_routes_identically(spark, tmp_path):
     """The size_class partition column (Iceberg hidden-partitioning analog,
     written by corpus_parquet) must be a pure routing optimization: output

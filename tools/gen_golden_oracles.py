@@ -6,14 +6,16 @@ lineage (x47).
 Why VALUES literals: the driver's correctness gate runs oracle SQL over the
 pre-registered parquet views only, and the corpus is generated — DuckDB
 cannot re-derive it.  What it CAN verify is that the distributed pipeline
-reproduces the SINGLE-THREADED, NON-SPARK reference implementation
-byte-for-byte: this script runs that reference (the pure-pandas kernels in
-qs_spark.kernels.* plus an INDEPENDENT re-implementation of the search /
-preview dataflow below — plain dicts and loops, no DataFrame code shared
-with the pipeline) and freezes its output as `SELECT ... FROM (VALUES ...)`
-statements in qs_spark/golden/*.sql, which __spark_entry__.oracle_sql()
-serves to the driver.  Same contract as the pytest golden suite
-(tests/test_extract_golden.py), made visible to the driver harness.
+reproduces a SINGLE-THREADED, INDEPENDENTLY-IMPLEMENTED reference
+byte-for-byte: this script runs tools/serial_reference.py (a from-scratch
+serial re-implementation of the whole extraction walk — NO import from
+qs_spark.kernels, r03 VERDICT #3) plus an equally independent
+re-implementation of the search / preview dataflow below (plain dicts and
+loops, no DataFrame code shared with the pipeline) and freezes the output as
+`SELECT ... FROM (VALUES ...)` statements in qs_spark/golden/*.sql, which
+__spark_entry__.oracle_sql() serves to the driver.  The only shared helpers
+are previews.process_single_text/process_texts — char-index arithmetic that
+IS the spec, property-tested against an independent char walker.
 
 Scale pinning: goldens are generated at N_DOCS = 500, the documents.parquet
 row count of BOTH sf0.001 and sf0.01 (the harness scales).  At other scales
@@ -40,8 +42,13 @@ from decimal import ROUND_HALF_UP, Decimal
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from qs_spark.corpus import gen_doc  # noqa: E402
-from qs_spark.kernels.dispatch import EXT_BY_FMT, fmt_of_spans, safe_extract_doc  # noqa: E402
+from serial_reference import (  # noqa: E402 — the kernel-independent walk
+    EXT_BY_FMT,
+    ref_fmt_of_spans as fmt_of_spans,
+    ref_safe_extract_doc as safe_extract_doc,
+)
+
+from qs_spark.corpus import gen_doc  # noqa: E402 — the INPUT generator
 from qs_spark.previews import process_single_text, process_texts  # noqa: E402
 from qs_spark.stopwords import STOPWORDS  # noqa: E402
 
