@@ -27,6 +27,7 @@ from qs_spark.corpus import corpus_parquet
 from qs_spark.extract import extract_spans
 from qs_spark.previews import search_with_previews
 from qs_spark.registry import publish_transition, skip_existing_versions
+from qs_spark.stopwords import STOPWORDS as _STOPWORDS
 from qs_spark.store import build_store
 
 # ---------------------------------------------------------------- helpers
@@ -220,27 +221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q08_first_per_group"] = q08
 
-    def q09(spark, sf):
-        # avg is emitted in exact integer micro-units (floor(avg*1e6 + .5)):
-        # sum and count are exact in both engines, so the quantized value is
-        # hash-identical — a round()ed double is not (engines' decimal
-        # rounding of the last ulp can differ)
-        return (
-            _docs(spark, sf)
-            .groupBy("source")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_chars").alias("sum_chars"),
-                F.floor(
-                    (F.sum("n_chars").cast("double") / F.count("*")) * 1e6 + 0.5
-                ).cast("long").alias("avg_chars_e6"),
-            )
-        )
-
-    q["q09_score_rollup"] = q09
-
-    # (q10 sigmoid / q11 top-k retired for driver-row budget: F9 sigmoid is
-    # evidenced by q42, O1 rank+limit by q05.)
+    # (q09 per-source rollup retired r04 for the 50-entry budget: the A2
+    # per-file rollup shape is evidenced by q05_or_search_rank's
+    # match_count-per-file agg, which stays green; the grouped-avg
+    # quantization trick lives on in q54.  q10 sigmoid / q11 top-k retired
+    # earlier: F9 via q42, O1 rank+limit via q05.)
 
     def q12(spark, sf):
         return S.bm25l_phrase(_docs_as_store(spark, sf), PHRASE).select(
@@ -518,18 +503,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(".pdf?X-Amz-Signature=abc&X-Amz-Expires=3600"),
         )
         fn = url_to_filename(url)
-        return d.select("doc_id", fn.alias("file_name"), file_extension(fn).alias("ext"))
-
-    q["q36_url_to_filename"] = q36
-
-    def q37(spark, sf):
+        # F6 + F7 in one entry (merged r04 to free a slot in the 50-entry
+        # driver budget — both scalar maps over the same table)
         from qs_spark.scalars import sha256_checksum
 
-        return _docs(spark, sf).select(
-            "doc_id", sha256_checksum(F.col("text")).alias("checksum")
+        return d.select(
+            "doc_id",
+            fn.alias("file_name"),
+            file_extension(fn).alias("ext"),
+            sha256_checksum(F.col("text")).alias("checksum"),
         )
 
-    q["q37_sha256_checksum"] = q37
+    q["q36_url_sha_scalars"] = q36
 
     def q38(spark, sf):
         from qs_spark.scalars import realm_key_diff
@@ -574,14 +559,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q42_text_search_sigmoid"] = q42
 
     def x41(spark, sf):
-        from qs_spark.previews import preview_docs
+        from qs_spark.previews import preview_count, preview_docs
 
         n = min(_docs(spark, sf).count(), 1500)
         store = build_store(extract_spans(corpus_parquet(spark, n)))
         ids = [f"doc{i:08d}" for i in range(60)]
-        return preview_docs(store, "table", ids).withColumn(
+        pv = preview_docs(store, "table", ids)
+        # A5 preview_count (API/router/api.py:977) rides along as a broadcast
+        # 1-row scalar on every row — same n_files pattern as search scoring
+        return pv.withColumn(
             "previews", F.to_json("previews")  # driver-harness serialization
-        )
+        ).crossJoin(F.broadcast(preview_count(pv)))
 
     q["x41_preview_docs_pages"] = x41
 
@@ -683,13 +671,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q53(spark, sf):
         # distinct-aggregate: vocabulary size per source
         d = _docs(spark, sf)
-        return (
+        # vocab + exact percentiles per source in one entry (q53+q55 merged
+        # r04 for the 50-entry budget): two independent aggs joined on the
+        # 20-row source dim — vocab needs the exploded token stream,
+        # percentiles the raw per-doc n_chars
+        vocab = (
             d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("term"))
             .groupBy("source")
             .agg(F.countDistinct("term").alias("vocab_size"))
         )
+        pct = d.groupBy("source").agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
+        )
+        return vocab.join(pct, "source")
 
-    q["q53_vocab_per_source"] = q53
+    q["q53_corpus_stats"] = q53
 
     def q54(spark, sf):
         # sessionization: per-user sessions split on >30 min gaps (lag +
@@ -721,18 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q54_sessionize_events"] = q54
 
-    def q55(spark, sf):
-        # percentiles (exact, linear interpolation) per source
-        return (
-            _docs(spark, sf)
-            .groupBy("source")
-            .agg(
-                F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
-                F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
-            )
-        )
-
-    q["q55_percentiles"] = q55
+    # (q55 percentiles folded into q53_corpus_stats r04 — same exact
+    # percentile expressions, now joined with the vocab agg.)
 
     def x56(spark, sf):
         # skew-safe salted join: lineitem (big) x orders subset (small)
@@ -900,6 +887,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q61_extract_pdf_walk"] = q61
 
+    def q63(spark, sf):
+        # corpus_filter: the C4/Gopher cleaning pass as ONE keep/drop_reason
+        # projection (composes the q25/q26/q02-oracled primitives).
+        # drop_reason coalesced to '' (nullable-string hash stability) and
+        # keep cast to int (no boolean column precedent in the harness).
+        return X.corpus_filter(_docs(spark, sf)).select(
+            "doc_id",
+            "n_tokens",
+            "punct_ratio",
+            "lang_pred",
+            "q_score",
+            F.coalesce("drop_reason", F.lit("")).alias("drop_reason"),
+            F.col("keep").cast("int").alias("keep"),
+        )
+
+    q["q63_corpus_filter"] = q63
+
+    def q64(spark, sf):
+        # J3 + T2: the consumer's Processing -> Success/Failed status
+        # write-back (CON/event_driven/consumer.py:322-344) + the status-check
+        # route's per-row status.  Docs with doc_id % 4 == 0 have no result
+        # yet and stay 'Processing' (the left-join coalesce branch).
+        from qs_spark.registry import resolve_status
+
+        reg = _registry_df(spark, sf).withColumn("status", F.lit("Processing"))
+        results = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") % 4 != 0)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 5 == 0, F.lit("Failed"))
+                .otherwise(F.lit("Success"))
+                .alias("outcome"),
+            )
+        )
+        return resolve_status(reg, results).select(
+            "doc_id", "version_id", "state", "status"
+        )
+
+    q["q64_registry_status"] = q64
+
+    def q65(spark, sf):
+        # F3 normalize_query: the reference's query normalization
+        # (file_searcher.py:199-231) — driver-side Python in the service,
+        # here run as an Arrow-batched kernel over synthesized raw queries
+        # and value-matched against a pure-SQL re-derivation.
+        import pandas as pd
+
+        from qs_spark.search import normalize_query
+
+        qdf = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.lit('  The "'),
+                F.substring("text", 1, 40),
+                F.lit("\" JOIN-query!  "),
+            ).alias("raw_q"),
+        )
+
+        def kern(batches):
+            for pdf in batches:
+                rows = [normalize_query(s) for s in pdf["raw_q"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "query_lower": [r[0] for r in rows],
+                        "query_clean": [r[1] for r in rows],
+                        "terms": [",".join(r[2]) for r in rows],
+                    }
+                )
+
+        return qdf.mapInPandas(
+            kern, "doc_id long, query_lower string, query_clean string, terms string"
+        )
+
+    q["q65_normalize_query"] = q65
+
     return {name: _with_cache_release(fn) for name, fn in q.items()}
 
 
@@ -961,12 +1025,6 @@ def oracle_sql() -> dict[str, str]:
     # sums CAST to BIGINT (DuckDB sum(BIGINT) is HUGEINT -> float64 in
     # pandas, breaking the driver hash); avg quantized to exact integer
     # micro-units on both sides
-    o["q09_score_rollup"] = (
-        "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
-        " CAST(floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 1000000 + 0.5) AS BIGINT)"
-        " AS avg_chars_e6 FROM documents GROUP BY source"
-    )
-
     # doubled-separator overlap-tolerant phrase tf (see search.bm25l_phrase):
     # token stream with every space doubled; phrase with doubled internal
     # separators + single edge spaces, removed outright and length-counted
@@ -1209,10 +1267,14 @@ def oracle_sql() -> dict[str, str]:
         " FROM documents GROUP BY ROLLUP(source, lang)"
     )
 
-    o["q53_vocab_per_source"] = (
-        "SELECT source, count(DISTINCT term) AS vocab_size FROM ("
-        " SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents)"
-        " GROUP BY source"
+    o["q53_corpus_stats"] = (
+        "SELECT v.source, v.vocab_size, p.p50, p.p95 FROM ("
+        " SELECT source, count(DISTINCT term) AS vocab_size FROM ("
+        "  SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents)"
+        " GROUP BY source) v JOIN ("
+        " SELECT source, round(quantile_cont(n_chars, 0.5), 6) AS p50,"
+        " round(quantile_cont(n_chars, 0.95), 6) AS p95 FROM documents GROUP BY source)"
+        " p USING (source)"
     )
 
     o["q54_sessionize_events"] = """
@@ -1236,11 +1298,6 @@ def oracle_sql() -> dict[str, str]:
                  AS sum_value_e6
         FROM s GROUP BY user_id, session_id
     """
-
-    o["q55_percentiles"] = (
-        "SELECT source, round(quantile_cont(n_chars, 0.5), 6) AS p50,"
-        " round(quantile_cont(n_chars, 0.95), 6) AS p95 FROM documents GROUP BY source"
-    )
 
     o["q56_salted_join"] = (
         "SELECT l_orderkey, count(*) AS n,"
@@ -1266,13 +1323,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # url built with %20 only -> decode == replace (DuckDB 1.0 lacks url_decode)
-    o["q36_url_to_filename"] = (
+    o["q36_url_sha_scalars"] = (
         "SELECT doc_id,"
         " replace('doc%20' || doc_id || '.pdf', '%20', ' ') AS file_name,"
-        " '.pdf' AS ext FROM documents"
+        " '.pdf' AS ext, sha256(text) AS checksum FROM documents"
     )
-
-    o["q37_sha256_checksum"] = "SELECT doc_id, sha256(text) AS checksum FROM documents"
 
     # serialized (comma-joined) to match the entry's driver-safe output
     o["q38_realm_key_diff"] = """
@@ -1491,6 +1546,71 @@ def oracle_sql() -> dict[str, str]:
                  sqrt(list_sum(list_transform(q.ev, x -> x * x)))) AS c
               FROM sel, q)
         SELECT vec_id, round(c, 6) AS cosine FROM r ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+    # corpus_filter: q25's quality metrics + q26's lang pred + the fixed
+    # reason precedence (thresholds compare the ROUNDED punct_ratio / q_score
+    # exactly as textops.corpus_filter consumes text_quality's projection)
+    o["q63_corpus_filter"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id, len(tk) AS n_tokens,
+                 length(array_to_string(tk, '')) * 1.0 / greatest(len(tk), 1) AS avg_w,
+                 round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 /
+                   greatest(length(text), 1), 6) AS punct_ratio,
+                 len(list_intersect(tk, {markers_sql})) AS n_markers,
+                 {hit_exprs}
+          FROM t),
+        s AS (
+          SELECT doc_id, n_tokens, punct_ratio,
+                 CASE {pred_cases} ELSE 'other' END AS lang_pred,
+                 round((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END) +
+                       (CASE WHEN avg_w >= 2.0 AND avg_w <= 12.0 THEN 0.3 ELSE 0.0 END) +
+                       (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END) +
+                       (CASE WHEN n_markers >= 1 THEN 0.1 ELSE 0.0 END), 2) AS q_score
+          FROM m)
+        SELECT doc_id, n_tokens, punct_ratio, lang_pred, q_score,
+               coalesce(CASE WHEN n_tokens < 10 THEN 'too_short'
+                             WHEN n_tokens > 1000000 THEN 'too_long'
+                             WHEN punct_ratio > 0.2 THEN 'punctuation'
+                             WHEN lang_pred <> 'en' THEN 'language'
+                             WHEN q_score < 0.5 THEN 'low_quality' END, '') AS drop_reason,
+               CASE WHEN n_tokens >= 10 AND n_tokens <= 1000000 AND punct_ratio <= 0.2
+                     AND lang_pred = 'en' AND q_score >= 0.5 THEN 1 ELSE 0 END AS keep
+        FROM s
+    """
+
+    # J3/T2 status resolution: rows without a result stay Processing
+    o["q64_registry_status"] = f"""
+        WITH reg AS ({_REGISTRY_SQL})
+        SELECT r.doc_id, r.version_id, r.state,
+               CASE WHEN d.doc_id IS NULL THEN 'Processing'
+                    WHEN d.doc_id % 5 = 0 THEN 'Failed'
+                    ELSE 'Success' END AS status
+        FROM reg r LEFT JOIN (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0) d
+          USING (doc_id)
+    """
+
+    # F3 normalize_query re-derived in SQL (the entry runs the real Python
+    # normalize_query in a kernel; value-hash equality == kernel == SQL spec)
+    stop_sql = "['" + "','".join(w.replace("'", "''") for w in sorted(_STOPWORDS)) + "']"
+    o["q65_normalize_query"] = f"""
+        WITH r AS (
+          SELECT doc_id,
+                 '  The "' || substr(text, 1, 40) || '" JOIN-query!  ' AS raw_q
+          FROM documents),
+        n AS (SELECT doc_id, lower(trim(raw_q)) AS ql FROM r),
+        c AS (SELECT doc_id, ql,
+                     regexp_replace(replace(replace(ql, '"', ''), '''', ''),
+                                    '[^a-z0-9 ]+', ' ', 'g') AS qc
+              FROM n)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, ql AS query_lower, qc AS query_clean,
+               array_to_string(list_filter(string_split_regex(qc, '\\s+'),
+                 x -> x <> '' AND NOT list_contains({stop_sql}, x)), ',') AS terms
+        FROM c
     """
 
     return o

@@ -140,24 +140,38 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
             store, "spark join window", postings_path="/tmp/qs_bench_postings"
         ).collect()
         out["sec"] = round(time.time() - t0, 3)
-    elif name == "dedup_lsh":
+    elif name in ("dedup_lsh", "dedup_cluster"):
+        # warmup on a SEPARATE tiny parquet table with the same schema: a
+        # .limit(64) warmup produces a DIFFERENT plan shape, so the timed
+        # run still paid whole-stage codegen compilation for every stage of
+        # the real plan (measured ~2x inflation on the first full run).
+        # Same-shape input -> codegen cache hits; different path -> no data
+        # precomputation.  Warmup caches are released before timing.
+        from qs_spark.cachereg import release_caches
+
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        X.lsh_candidate_pairs(docs.limit(64)).count()  # warmup
-        t0 = time.time()
-        X.lsh_candidate_pairs(docs).count()
-        out["sec"] = round(time.time() - t0, 3)
-    elif name == "dedup_cluster":
-        # the END-TO-END dedup pipeline: candidates -> jaccard verify ->
-        # connected components -> one representative per cluster
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        X.near_dup_clusters(docs.limit(64)).count()  # warmup
-        t0 = time.time()
-        out["survivors"] = (
-            X.near_dup_clusters(docs, jaccard_threshold=0.8)
-            .filter("is_representative")
-            .count()
-        )
-        out["sec"] = round(time.time() - t0, 3)
+        wpath = "/tmp/qs_bench_dedup_warmup.parquet"
+        if not os.path.isfile(os.path.join(wpath, "_SUCCESS")):
+            docs.limit(64).coalesce(1).write.mode("overwrite").parquet(wpath)
+        wdocs = spark.read.parquet(wpath)
+        if name == "dedup_lsh":
+            X.lsh_candidate_pairs(wdocs).count()  # warmup
+            release_caches()
+            t0 = time.time()
+            X.lsh_candidate_pairs(docs).count()
+            out["sec"] = round(time.time() - t0, 3)
+        else:
+            # the END-TO-END dedup pipeline: candidates -> jaccard verify ->
+            # connected components -> one representative per cluster
+            X.near_dup_clusters(wdocs).count()  # warmup
+            release_caches()
+            t0 = time.time()
+            out["survivors"] = (
+                X.near_dup_clusters(docs, jaccard_threshold=0.8)
+                .filter("is_representative")
+                .count()
+            )
+            out["sec"] = round(time.time() - t0, 3)
     elif name == "ann_topk":
         from pyspark.sql import functions as F
 

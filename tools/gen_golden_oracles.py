@@ -257,14 +257,19 @@ def gen_x34(store: list[dict]) -> None:
 
 def gen_x41(store: list[dict]) -> None:
     ids = {f"doc{i:08d}" for i in range(60)}
+    pages = reference_preview_docs(store, "table", ids)
+    # A5 preview_count = total snippets across the result (api.py:977),
+    # attached to every row as the entry's broadcast scalar is
+    total = sum(len(previews) for _, _, _, previews in pages)
     rows = [
-        (sql_str(did), sql_str(name), str(page), sql_str(to_json(previews)))
-        for did, name, page, previews in reference_preview_docs(store, "table", ids)
+        (sql_str(did), sql_str(name), str(page), sql_str(to_json(previews)), str(total))
+        for did, name, page, previews in pages
     ]
     emit(
         "x41_preview_docs_pages.sql",
-        "document_id, document_name, CAST(page_no AS INT) AS page_no, previews",
-        ["document_id", "document_name", "page_no", "previews"],
+        "document_id, document_name, CAST(page_no AS INT) AS page_no, previews,"
+        " CAST(preview_count AS BIGINT) AS preview_count",
+        ["document_id", "document_name", "page_no", "previews", "preview_count"],
         rows,
     )
 
