@@ -194,6 +194,21 @@ HEADLINE = ("extract", "search", "search_idx", "dedup_lsh", "dedup_cluster", "an
 TRIALS = int(os.environ.get("QS_BENCH_TRIALS", "3"))
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the VM's hypervisor
+    steal is bursty (observed 0-30% windows) and is the main source of the
+    round-over-round bench discrepancies; recording it makes a slow artifact
+    distinguishable from a slow engine."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def main_bench() -> None:
     """Each headline query runs TRIALS times in fresh subprocesses and
     reports the MEDIAN (r02 verdict: single-run noise at sf0.1 is ~±20%,
@@ -203,6 +218,7 @@ def main_bench() -> None:
     queries: dict[str, float] = {}
     extras: dict[str, object] = {}
     trials: dict[str, list[float]] = {}
+    steal0, total0 = _cpu_stat()
     for name in HEADLINE:
         secs: list[float] = []
         last: dict = {}
@@ -232,6 +248,8 @@ def main_bench() -> None:
             extras["docs_per_sec"] = round(last["n_docs"] / med, 1)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    steal1, total1 = _cpu_stat()
+    dt = max(total1 - total0, 1)
     out = {
         "metric": "headline_suite_wall_sec",
         "value": round(sum(queries.values()), 3),
@@ -240,6 +258,7 @@ def main_bench() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "trials": TRIALS,
         "trials_sec": trials,
+        "hypervisor_steal_pct": round(100.0 * (steal1 - steal0) / dt, 2),
         **extras,
     }
     print(json.dumps(out))
