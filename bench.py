@@ -97,13 +97,24 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
     spark = get_spark(f"bench_{name}", cores=cores)
     out: dict = {"query": name}
     if name == "extract":
+        from qs_spark.store import write_store
+
         n_docs = _n_docs(spark, sf_dir) * DOCS_MULT
         input_df = corpus_parquet(spark, n_docs)
-        tune_scan_split(spark, input_df)
+        split = tune_scan_split(spark, input_df)
         extract_spans(corpus_df(spark, 512)).count()  # warmup
+        # input-table bytes double as the store-size estimate for the
+        # rebalanced write (store ≈ 1.2x input for this corpus; at scale
+        # you'd pass table statistics)
+        import os as _os
+
+        est = sum(
+            _os.path.getsize(f[7:] if f.startswith("file://") else f)
+            for f in input_df.inputFiles()
+        )
         t0 = time.time()
         store = build_store(extract_spans(input_df, repartition_input=False))
-        store.write.mode("overwrite").parquet("/tmp/qs_bench_store")
+        write_store(store, "/tmp/qs_bench_store", est_bytes=est)
         out["sec"] = round(time.time() - t0, 3)
         out["n_docs"] = n_docs
         out["docs_per_sec"] = round(n_docs / out["sec"], 1)
@@ -191,7 +202,10 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
 
 
 HEADLINE = ("extract", "search", "search_idx", "dedup_lsh", "dedup_cluster", "ann_topk")
-TRIALS = int(os.environ.get("QS_BENCH_TRIALS", "3"))
+# 5 trials: this VM's steal bursts can produce single 2-3x outlier trials
+# (observed 15/54/17/15 s on identical runs); a median of 5 absorbs up to
+# two, a median of 3 only one
+TRIALS = int(os.environ.get("QS_BENCH_TRIALS", "5"))
 
 
 def _cpu_stat() -> tuple[int, int]:

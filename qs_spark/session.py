@@ -50,6 +50,16 @@ def get_spark(
         # hundred MB of doc text worst case; mega docs are pre-split so no
         # single row is unbounded)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # the JVM->Python Arrow stream's socket buffer: at the 64 KB default
+        # the JVM writer blocks on the Python consumer and the two serialize
+        # (measured 12.4 s -> 10-11 s on the 100k-doc extract at 4 MB).
+        # Bigger is NOT better once a downstream exchange stacks on: 16 MB
+        # was fastest on a bare kernel .count() (9.9 s) but intermittently
+        # collapsed the full extract+store job to 30-50 s (buffer memory x
+        # 32 tasks x both directions -> GC churn); 64 MB regressed even the
+        # bare kernel to 26 s.  4 MB x task-concurrency = ~128 MB here,
+        # 16-32 MB on a 4-8 core executor
+        .config("spark.sql.execution.pandas.udf.buffer.size", str(4 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("QS_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -141,6 +141,25 @@ def test_preview_limit_and_boost(spark):
         assert (with_prev["relavence_score"] >= 90.0 - 1e-9).all()
 
 
+def test_write_store_rebalances_files(spark, tmp_path):
+    """write_store packs output into size-derived files (Iceberg
+    write.distribution-mode analog) instead of one sliver per upstream task,
+    preserving rows exactly."""
+    import os
+
+    from qs_spark.store import write_store
+
+    st = _store(spark)
+    path = str(tmp_path / "st")
+    write_store(st, path, est_bytes=0, min_files=4)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 4
+    back = spark.read.parquet(path)
+    assert sorted(r.row_id for r in back.select("row_id").collect()) == sorted(
+        r.row_id for r in st.select("row_id").collect()
+    )
+
+
 def test_preview_survivors_not_force_broadcast(spark):
     """r03 VERDICT #2: in OR mode P7 never filters (BASE_SCORE 0.7 > cutoff
     0.655), so `survivors` is every matching file — a static broadcast hint
