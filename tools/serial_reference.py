@@ -39,7 +39,6 @@ callers), and pandas (the reference's own loader dependency).
 from __future__ import annotations
 
 import hashlib
-import html as _htmlmod
 import io
 import re
 
@@ -266,12 +265,16 @@ def ref_walk_sheets(raw_spans: list[dict], excel_mode: bool, chunk_size: int) ->
 
 # -------------------------------------------------------------------- html
 #
-# Independent architecture: regex tokenizer + explicit stack machine (the
-# pipeline kernel rides stdlib html.parser).  Spec, per the north rule +
+# Independent architecture: stdlib html.parser event callbacks (the pipeline
+# kernel rides a regex tokenizer + explicit stack machine — architectures
+# swapped in round 4 because the regex machine is 1.8x faster and the slow
+# one only runs at golden-regeneration time).  Spec, per the north rule +
 # COVERAGE.md: prune boilerplate containers, collect text per innermost open
 # content block, collapse whitespace, " | "-join table cells, drop >50%
 # link-density blocks, implied end tags with a table-scope boundary, flush
 # still-open blocks at EOF.
+
+from html.parser import HTMLParser as _HTMLParser  # noqa: E402
 
 _PRUNE = {
     "script", "style", "noscript", "template", "head", "nav", "footer",
@@ -282,117 +285,120 @@ _SELF_CLOSE_SAME = {"p", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6"}
 _VOID = {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
          "embed", "source", "track", "wbr"}
 _WS = re.compile(r"\s+")
-# one token per tag: group 1 = '/', group 2 = name, group 3 = attrs+self-slash
-_TOKEN = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
-_MARKUP_SKIP = re.compile(r"<!--.*?-->|<![^>]*>|<\?[^>]*>", re.S)
 
 
-def ref_extract_main(html: str) -> list[str]:
-    html = _MARKUP_SKIP.sub("", html or "")
-    blocks: list[str] = []
-    stack: list[dict] = []  # {tag, parts, link, total, cells}
-    prune = 0
-    a_depth = 0
+class _RefMainContentParser(_HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._prune_depth = 0
+        self._block_stack: list[dict] = []  # {tag, parts, link, total, cells}
+        self._a_depth = 0
 
-    def emit_top() -> None:
-        b = stack.pop()
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID:
+            if tag == "br" and self._block_stack:
+                self._block_stack[-1]["parts"].append(" ")
+            return
+        if tag in _PRUNE:
+            self._prune_depth += 1
+            return
+        if self._prune_depth:
+            return
+        if tag == "a":
+            self._a_depth += 1
+        if tag == "table":
+            self._block_stack.append(
+                {"tag": "table", "parts": [], "link": 0, "total": 0, "cells": []}
+            )
+        elif tag in _BLOCKS:
+            while self._block_stack:
+                top = self._block_stack[-1]["tag"]
+                if top == "table":
+                    break
+                if (top == tag and tag in _SELF_CLOSE_SAME) or (
+                    top == "p" and tag != "p"
+                ):
+                    self._emit_top()
+                else:
+                    break
+            self._block_stack.append(
+                {"tag": tag, "parts": [], "link": 0, "total": 0, "cells": []}
+            )
+        elif tag in ("td", "th") and self._block_stack and self._block_stack[-1]["tag"] == "tr":
+            b = self._block_stack[-1]
+            b["cells"].append(len(b["parts"]))
+
+    def _emit_top(self) -> None:
+        b = self._block_stack.pop()
         if b["tag"] == "table":
             return
         if b["tag"] == "tr" and b["cells"]:
             bounds = b["cells"] + [len(b["parts"])]
-            cells = ["".join(b["parts"][bounds[i] : bounds[i + 1]]) for i in range(len(bounds) - 1)]
-            text = " | ".join(t for t in (_WS.sub(" ", c).strip() for c in cells) if t)
+            cell_texts = [
+                "".join(b["parts"][bounds[i] : bounds[i + 1]])
+                for i in range(len(bounds) - 1)
+            ]
+            text = " | ".join(
+                t for t in (_WS.sub(" ", c).strip() for c in cell_texts) if t
+            )
         else:
             text = _WS.sub(" ", "".join(b["parts"])).strip()
         if text and (b["total"] == 0 or b["link"] / b["total"] <= 0.5):
-            blocks.append(text)
+            self.blocks.append(text)
 
-    def start(tag: str) -> None:
-        nonlocal prune, a_depth
-        if tag in _VOID:
-            if tag == "br" and stack:
-                stack[-1]["parts"].append(" ")
-            return
+    def handle_endtag(self, tag: str) -> None:
         if tag in _PRUNE:
-            prune += 1
+            if self._prune_depth:
+                self._prune_depth -= 1
             return
-        if prune:
+        if self._prune_depth:
             return
         if tag == "a":
-            a_depth += 1
+            self._a_depth = max(0, self._a_depth - 1)
         if tag == "table":
-            stack.append({"tag": "table", "parts": [], "link": 0, "total": 0, "cells": []})
-        elif tag in _BLOCKS:
-            while stack:
-                top = stack[-1]["tag"]
-                if top == "table":
-                    break
-                if (top == tag and tag in _SELF_CLOSE_SAME) or (top == "p" and tag != "p"):
-                    emit_top()
-                else:
-                    break
-            stack.append({"tag": tag, "parts": [], "link": 0, "total": 0, "cells": []})
-        elif tag in ("td", "th") and stack and stack[-1]["tag"] == "tr":
-            stack[-1]["cells"].append(len(stack[-1]["parts"]))
-
-    def end(tag: str) -> None:
-        nonlocal prune, a_depth
-        if tag in _PRUNE:
-            if prune:
-                prune -= 1
-            return
-        if prune:
-            return
-        if tag == "a":
-            a_depth = max(0, a_depth - 1)
-        if tag == "table":
-            if any(b["tag"] == "table" for b in stack):
-                while stack:
-                    sentinel = stack[-1]["tag"] == "table"
-                    emit_top()
+            if any(b["tag"] == "table" for b in self._block_stack):
+                while self._block_stack:
+                    sentinel = self._block_stack[-1]["tag"] == "table"
+                    self._emit_top()
                     if sentinel:
                         break
             return
         scope = 0
-        for i in range(len(stack) - 1, -1, -1):
-            if stack[i]["tag"] == "table":
+        for i in range(len(self._block_stack) - 1, -1, -1):
+            if self._block_stack[i]["tag"] == "table":
                 scope = i + 1
                 break
-        if tag in _BLOCKS and any(b["tag"] == tag for b in stack[scope:]):
-            while stack:
-                match = stack[-1]["tag"] == tag
-                emit_top()
+        if tag in _BLOCKS and any(
+            b["tag"] == tag for b in self._block_stack[scope:]
+        ):
+            while self._block_stack:
+                match = self._block_stack[-1]["tag"] == tag
+                self._emit_top()
                 if match:
                     break
 
-    def data(text: str) -> None:
-        if prune or not stack or not text:
+    def flush(self) -> None:
+        while self._block_stack:
+            self._emit_top()
+
+    def handle_data(self, data: str) -> None:
+        if self._prune_depth or not self._block_stack:
             return
-        text = _htmlmod.unescape(text)
-        b = stack[-1]
-        b["parts"].append(text)
-        n = len(_WS.sub("", text))
+        b = self._block_stack[-1]
+        b["parts"].append(data)
+        n = len(_WS.sub("", data))
         b["total"] += n
-        if a_depth:
+        if self._a_depth:
             b["link"] += n
 
-    pos = 0
-    for m in _TOKEN.finditer(html):
-        if m.start() > pos:
-            data(html[pos : m.start()])
-        pos = m.end()
-        closing, name, rest = m.group(1), m.group(2).lower(), m.group(3)
-        if closing:
-            end(name)
-        else:
-            start(name)
-            if rest.rstrip().endswith("/") and name not in _VOID:
-                end(name)  # <tag/> = start+end (html.parser startendtag)
-    if pos < len(html):
-        data(html[pos:])
-    while stack:  # EOF flush
-        emit_top()
-    return blocks
+
+def ref_extract_main(html: str) -> list[str]:
+    p = _RefMainContentParser()
+    p.feed(html or "")
+    p.close()
+    p.flush()
+    return p.blocks
 
 
 def ref_walk_html(raw_spans: list[dict]) -> list[dict]:
