@@ -133,6 +133,21 @@ def test_serial_reference_matches_kernels():
                   [{"kind": "html", "text": "<p>a<table><tr><td>x</td></table>b</p>",
                     "media_ref": "", "offset": 0}]):
         assert safe_extract_doc(spans, None) == sr.ref_safe_extract_doc(spans, None)
+    # pathological markup: the kernel's regex tokenizer and the oracle's
+    # html.parser must agree outside the well-formed corpus domain too
+    from qs_spark.kernels.html_kernel import extract_main
+
+    for c in (
+        "<p>a<div", "<p>a < b</p>", "<p>a<b</p>", "<p class='x>y'>z</p>",
+        "<p>a&amp;b &lt;tag&gt;</p>", "<P>UPPER</P>",
+        "<p>a<!-- <p>hidden</p> -->b</p>", "<p>one<p/>two</p>",
+        "<p>a&nbsp;b</p>", "<p>broken &amp no-semi</p>",
+        "<table><tr><td>a<td>b</table>", "<p >attr space</p>",
+        "<p\nnewline>nl</p>", "<p>5 < 6 and 7 > 4</p>",
+        '<p data-x="a>b">gt-in-attr</p>', "<li>a</LI>", "<p>&#65;&#x42;</p>",
+        "<p>tail</p>trailing<p>next</p>",
+    ):
+        assert extract_main(c) == sr.ref_extract_main(c), c
 
 
 def test_size_class_partitioned_table_routes_identically(spark, tmp_path):
