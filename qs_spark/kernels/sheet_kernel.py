@@ -67,17 +67,104 @@ import pandas as pd
 CHUNK_SIZE = 102400  # ref: simple_reader_extractor.py:18 (excel/csv/txt)
 
 
+_FAST_READ_OK: bool | None = None
+
+
+def _fast_read_frame(text: str, skiprows: int | None = None) -> pd.DataFrame:
+    """pd.read_csv minus the expensive generic DataFrame(dict) construction.
+
+    The C parser's output (columns already mangled/deduped, one fresh numpy
+    array per column) goes straight through DataFrame._from_arrays(...,
+    verify_integrity=False) — the construction path pandas itself uses
+    internally — skipping per-column sanitize/homogenize/copy that dominated
+    the sheet kernel's profile (measured 0.79 -> 0.37 ms per small sheet,
+    ~2x).  Values, dtypes, column labels and to_string output are identical;
+    EmptyDataError propagates exactly as from read_csv (it is part of the
+    reference contract).  Validated per process by _fast_read_ok on a
+    hostile battery; any mismatch or unexpected error falls back to the real
+    read_csv — and the kernel-independent x33 golden (serial_reference uses
+    plain read_csv) would catch a silent divergence at the driver level."""
+    kw: dict = {"iterator": True}
+    if skiprows is not None:
+        kw["skiprows"] = skiprows
+    tfr = pd.read_csv(io.StringIO(text), **kw)
+    try:
+        index, columns, col_dict = tfr._engine.read(None)
+    finally:
+        tfr.close()
+    n = len(next(iter(col_dict.values()))) if col_dict else 0
+    idx = pd.RangeIndex(0, n) if index is None else index
+    arrays = [col_dict[c] for c in columns]
+    return pd.DataFrame._from_arrays(arrays, columns, idx, verify_integrity=False)
+
+
+def _fast_read_ok() -> bool:
+    """Once per process: byte-validate the fast loader against real read_csv
+    on a battery of hostile CSVs (dup headers, quotes, bools, NaN columns,
+    leading zeros, int64/uint64 edges, mixed dtypes)."""
+    global _FAST_READ_OK
+    if _FAST_READ_OK is not None:
+        return _FAST_READ_OK
+    battery = [
+        "a,b,c\n1,2.5,x\n3,NaN,y\n-4,1e5,\n",
+        "a,a,b\n1,2,3\n",
+        "x\n\n1\n2\n",
+        'q,w\n"a,b",2\n"c""d",3\n',
+        "h1,h2\nTrue,false\nFalse,true\n",
+        "a,b\n,\n,\n",
+        "a,b\n007,08\n",
+        "mixed\n1\nx\n2.5\n",
+        "i\n9223372036854775807\n",
+        "u\n18446744073709551615\n",
+    ]
+    ok = True
+    try:
+        for text in battery:
+            for sk in (None, 1):
+                a = pd.read_csv(io.StringIO(text), skiprows=sk)
+                b = _fast_read_frame(text, skiprows=sk)
+                if (
+                    list(a.columns) != list(b.columns)
+                    or list(map(str, a.dtypes)) != list(map(str, b.dtypes))
+                    or not a.equals(b)
+                    or a.to_string(index=False) != b.to_string(index=False)
+                ):
+                    ok = False
+                    break
+            if not ok:
+                break
+    except Exception:
+        ok = False
+    _FAST_READ_OK = ok
+    return ok
+
+
+def _read_csv(text: str, skiprows: int | None = None) -> pd.DataFrame:
+    """Loader dispatch: validated fast path, else the real read_csv.
+    EmptyDataError always propagates (reference contract)."""
+    if _fast_read_ok():
+        try:
+            return _fast_read_frame(text, skiprows)
+        except pd.errors.EmptyDataError:
+            raise
+        except Exception:
+            pass  # unexpected shape -> the generic loader decides
+    if skiprows is None:
+        return pd.read_csv(io.StringIO(text))
+    return pd.read_csv(io.StringIO(text), skiprows=skiprows)
+
+
 def _read_with_unnamed_retry(sheet_csv: str, excel_mode: bool) -> pd.DataFrame | None:
     """Parse + reproduce the all-Unnamed skiprows retry loop."""
     try:
-        df = pd.read_csv(io.StringIO(sheet_csv))
+        df = _read_csv(sheet_csv)
     except pd.errors.EmptyDataError:
         return None
     count = 0
     while True:
         if all(str(col).startswith("Unnamed") for col in df.columns):
             try:
-                df = pd.read_csv(io.StringIO(sheet_csv), skiprows=count + 1)
+                df = _read_csv(sheet_csv, skiprows=count + 1)
             except pd.errors.EmptyDataError:
                 if excel_mode:
                     return None  # ref excel: `if df.empty: break` -> skip sheet
