@@ -995,6 +995,109 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Sequence packing for training-batch construction: assign every doc a
+    pack_id such that each pack's token sum is <= budget (greedy sequential
+    fill).  The step between a cleaned corpus and fixed-length training
+    sequences — packing short documents together instead of padding is a
+    standard pre-training data op.
+
+    Distributed + deterministic shape:
+      - docs shard by xxhash64(doc_id) % n_shards (default
+        shuffle.partitions); only the slim (doc_id, tokens) projection
+        shuffles — at 100 TB a shard is millions of (id, int) pairs, not
+        text;
+      - within a shard, docs in doc_id order fill packs greedily (the
+        running-sum-with-reset scan is genuinely stateful — plain cumsum
+        would split a doc across a boundary — so it runs as an Arrow-batched
+        applyInPandas kernel per shard, the documented custom-stateful-op
+        case);
+      - global pack_ids = shard-local ids + per-shard base offsets from one
+        n_shards-row prefix sum (the assign_index_ids pattern — no
+        single-partition window).
+
+    Output: (doc_id, <token_col>, pack_id, oversize); a doc with
+    tokens > budget gets a solo pack and oversize=true (callers truncate or
+    drop).  Deterministic across partitionings (hash sharding + in-shard
+    ordering are both content-derived)."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    n_shards = n_shards or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    slim = docs.select(
+        "doc_id", F.col(token_col).cast("long").alias("_tok")
+    ).withColumn("_shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
+
+    out_schema = (
+        f"doc_id {docs.schema['doc_id'].dataType.simpleString()}, _tok long,"
+        " _shard int, _local_pack long"
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        packs = []
+        cur, pack = 0, 0
+        first = True
+        for t in pdf["_tok"]:
+            t = int(t)
+            if not first and cur + t > budget:
+                pack += 1
+                cur = 0
+            packs.append(pack)
+            cur += t
+            first = False
+            if t > budget:  # oversize doc occupied this pack alone
+                pack += 1
+                cur = 0
+                first = True
+        pdf["_local_pack"] = packs
+        return pdf
+
+    packed = slim.groupBy("_shard").applyInPandas(fill, schema=out_schema)
+    # per-shard pack counts -> base offsets (n_shards driver rows)
+    counts = (
+        packed.groupBy("_shard")
+        .agg((F.max("_local_pack") + 1).alias("_n"))
+        .orderBy("_shard")
+        .collect()
+    )
+    base, offsets = 0, {}
+    for r in counts:
+        offsets[r["_shard"]] = base
+        base += r["_n"]
+    off_df = spark.createDataFrame(
+        [(s, o) for s, o in offsets.items()], "_shard int, _base long"
+    )
+    return (
+        packed.join(F.broadcast(off_df), "_shard")
+        .select(
+            "doc_id",
+            F.col("_tok").alias(token_col),
+            (F.col("_local_pack") + F.col("_base")).alias("pack_id"),
+            (F.col("_tok") > budget).alias("oversize"),
+        )
+    )
+
+
+def pack_utilization(packed: DataFrame, budget: int, token_col: str = "n_tokens"):
+    """Packing quality rollup: packs, mean fill ratio, oversize count."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum(token_col).alias("_sum"), F.max(F.col("oversize").cast("int")).alias("_ov")
+    )
+    return per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.round(F.avg(F.least(F.col("_sum"), F.lit(budget)) / budget), 4).alias(
+            "mean_fill"
+        ),
+        F.sum("_ov").alias("oversize_packs"),
+    )
+
+
 def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing, Schleimer et al.
     SIGMOD'03 / MOSS): hash every k-char gram of the normalized text, slide a

@@ -401,6 +401,51 @@ def test_ivf_indexed_equals_memory_and_prunes(spark, tmp_path):
     assert "_cell" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_pack_sequences_budget_and_determinism(spark):
+    """Sequence packing: every non-oversize pack's token sum <= budget,
+    oversize docs sit alone, pack ids are globally unique per doc, and the
+    assignment is identical across input partitionings (content-derived
+    sharding + ordering)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", (F.col("n_chars") / 4).cast("long").alias("n_tokens")
+    )
+    budget = 60
+    packed = X.pack_sequences(docs, budget, n_shards=8).toPandas()
+    assert len(packed) == docs.count()
+    sums = packed.groupby("pack_id").n_tokens.sum()
+    oversize_packs = set(packed[packed.oversize].pack_id)
+    for pid, s in sums.items():
+        if pid in oversize_packs:
+            assert len(packed[packed.pack_id == pid]) == 1  # solo
+        else:
+            assert s <= budget, (pid, s)
+    # determinism across partitionings
+    again = X.pack_sequences(docs.repartition(17), budget, n_shards=8).toPandas()
+    a = packed.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert (a.pack_id.values == b.pack_id.values).all()
+    # utilization rollup sane
+    u = X.pack_utilization(
+        X.pack_sequences(docs, budget, n_shards=8), budget
+    ).first()
+    assert u.n_packs == packed.pack_id.nunique()
+    assert 0 < u.mean_fill <= 1.0
+
+
+def test_pack_sequences_oversize_and_edge(spark):
+    d = spark.createDataFrame(
+        [(1, 4), (2, 15), (3, 3), (4, 7), (5, 10)], "doc_id long, n_tokens long"
+    )
+    out = X.pack_sequences(d, budget=10, n_shards=1).toPandas().set_index("doc_id")
+    assert bool(out.loc[2, "oversize"]) and not bool(out.loc[1, "oversize"])
+    # doc 2 is alone in its pack
+    p2 = out.loc[2, "pack_id"]
+    assert (out.pack_id == p2).sum() == 1
+    sums = out.groupby("pack_id").n_tokens.sum()
+    for pid, s in sums.items():
+        assert s <= 10 or pid == p2
+
+
 def test_ivf_sampled_training_keeps_recall(spark):
     """r03 VERDICT #5: train_fraction fits KMeans on a SAMPLE (the 100 TB
     shape — k-means is multi-pass, assignment is one pass) and must keep the
