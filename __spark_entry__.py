@@ -655,18 +655,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q50_simhash_near_dup"] = q50
 
-    # (x51 exact-match previews folded into x34's mode union — driver-row
-    # budget.)
+    # (x51 exact-match previews folded into x34's mode union; q52 rollup
+    # aggregate retired in r05 for q66_pack_sequences — grouping-sets are
+    # vanilla Catalyst with no engine code of ours, while pack_sequences was
+    # the one operator without a driver oracle row.  Both per the 50-row
+    # driver budget.)
 
-    def q52(spark, sf):
-        # rollup aggregate (source x lang hierarchy with subtotals)
-        return (
-            _docs(spark, sf)
-            .rollup("source", "lang")
-            .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    def q66(spark, sf):
+        # sequence packing for training batches: greedy per-shard fill with
+        # oversize isolation; deterministic doc_id-mod shard so the DuckDB
+        # oracle can re-derive the identical packing (see oracle_sql q66)
+        toks = X.token_counts(_docs(spark, sf)).select(
+            "doc_id",
+            F.col("ws_tokens").cast("long").alias("n_tokens"),
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("_s"),
+        )
+        return X.pack_sequences(toks, budget=64, shard_col="_s").select(
+            "doc_id", "n_tokens", "pack_id", "oversize"
         )
 
-    q["q52_rollup_source_lang"] = q52
+    q["q66_pack_sequences"] = q66
 
     def q53(spark, sf):
         # distinct-aggregate: vocabulary size per source
@@ -1261,11 +1269,49 @@ def oracle_sql() -> dict[str, str]:
                             AND r.version_id = cast(d.doc_id % 7 AS int))
     """
 
-    o["q52_rollup_source_lang"] = (
-        "SELECT source, lang, count(*) AS n_docs,"
-        " CAST(sum(n_chars) AS BIGINT) AS sum_chars"
-        " FROM documents GROUP BY ROLLUP(source, lang)"
-    )
+    # q66: the greedy per-shard fill re-derived as a recursive CTE — state
+    # (assign, pack_next, cur, fresh) steps row-by-row in doc_id order per
+    # shard, exactly mirroring qs_spark.textops.pack_sequences' kernel;
+    # per-shard pack counts prefix-sum into global pack ids the same way.
+    o["q66_pack_sequences"] = """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                 cast(doc_id % 8 AS int) AS shard
+          FROM documents
+        ), ordered AS (
+          SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+          FROM toks
+        ), fill AS (
+          SELECT shard, rn, doc_id, n_tokens,
+                 0::BIGINT AS assign,
+                 CASE WHEN n_tokens > 64 THEN 1 ELSE 0 END::BIGINT AS pack_next,
+                 CASE WHEN n_tokens > 64 THEN 0 ELSE n_tokens END::BIGINT AS cur,
+                 (n_tokens > 64) AS fresh
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+                 f.pack_next + CASE WHEN NOT f.fresh AND f.cur + o.n_tokens > 64
+                                    THEN 1 ELSE 0 END AS assign,
+                 f.pack_next
+                   + CASE WHEN NOT f.fresh AND f.cur + o.n_tokens > 64 THEN 1 ELSE 0 END
+                   + CASE WHEN o.n_tokens > 64 THEN 1 ELSE 0 END AS pack_next,
+                 CASE WHEN o.n_tokens > 64 THEN 0
+                      WHEN NOT f.fresh AND f.cur + o.n_tokens > 64 THEN o.n_tokens
+                      ELSE f.cur + o.n_tokens END AS cur,
+                 (o.n_tokens > 64) AS fresh
+          FROM ordered o JOIN fill f ON o.shard = f.shard AND o.rn = f.rn + 1
+        ), counts AS (
+          SELECT shard, max(assign) + 1 AS n_local FROM fill GROUP BY shard
+        ), offs AS (
+          SELECT shard, coalesce(sum(n_local) OVER (ORDER BY shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+          FROM counts
+        )
+        SELECT f.doc_id, f.n_tokens, f.assign + o.base AS pack_id,
+               f.n_tokens > 64 AS oversize
+        FROM fill f JOIN offs o USING (shard)
+    """
 
     o["q53_corpus_stats"] = (
         "SELECT v.source, v.vocab_size, p.p50, p.p95 FROM ("

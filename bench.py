@@ -138,7 +138,15 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
         # any index); the measured query is the partition-pruned lookup +
         # semi-join + rollup
         store = spark.read.parquet("/tmp/qs_bench_store")
-        if not os.path.isdir("/tmp/qs_bench_postings"):
+        # rebuild the index when missing OR stale vs the store (the store is
+        # rewritten by every extract trial; a leftover postings dir from an
+        # earlier run must not be what gets measured)
+        def _mtime(d):
+            try:
+                return os.path.getmtime(os.path.join(d, "_SUCCESS"))
+            except OSError:
+                return -1.0
+        if _mtime("/tmp/qs_bench_postings") < _mtime("/tmp/qs_bench_store"):
             S.write_postings(store, "/tmp/qs_bench_postings")
         # warm up with the SAME terms: a different-term warmup reads different
         # index buckets and leaves the timed query's buckets cold right after

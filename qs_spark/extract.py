@@ -130,11 +130,16 @@ def with_size_class(
     partition-pruned scans — each input byte is read once, not twice."""
     if "fmt" not in df.columns:
         df = with_fmt(df)
+    cls = F.when(mega_predicate(split_threshold), F.lit("mega")).otherwise(
+        F.lit("small")
+    )
+    # record the derivation threshold as column metadata (parquet round-trips
+    # Spark schema metadata in the footer): extract_spans verifies it before
+    # trusting a stored routing column, so a table classed with a custom
+    # threshold can never be silently misrouted by a default-threshold job
     return df.withColumn(
         SIZE_CLASS_COL,
-        F.when(mega_predicate(split_threshold), F.lit("mega")).otherwise(
-            F.lit("small")
-        ),
+        cls.alias(SIZE_CLASS_COL, metadata={"split_threshold": split_threshold}),
     )
 
 
@@ -307,9 +312,20 @@ def extract_spans(
     if num_partitions is None:
         num_partitions = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    has_class = (
-        SIZE_CLASS_COL in df.columns and split_threshold == DEFAULT_SPLIT_THRESHOLD
-    )
+    # Trust a stored size_class only when its recorded derivation threshold
+    # matches this call's (r04 ADVICE: a table classed via
+    # with_size_class(df, custom) used to be silently misrouted at the
+    # default threshold).  Tables written before the metadata existed carry
+    # none and are trusted only at the default, as before.
+    if SIZE_CLASS_COL in df.columns:
+        stored_t = df.schema[SIZE_CLASS_COL].metadata.get("split_threshold")
+        has_class = (
+            stored_t == split_threshold
+            if stored_t is not None
+            else split_threshold == DEFAULT_SPLIT_THRESHOLD
+        )
+    else:
+        has_class = False
     df = with_fmt(df)
     if has_class:
         # partition-column filters -> pruned scans, payload decoded once

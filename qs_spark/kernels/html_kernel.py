@@ -29,14 +29,18 @@ Spec (deterministic, stdlib-only):
     outer row.  Inner blocks emit when they close, i.e. before their
     enclosing outer row.
 
-Architecture (round 4): a regex tokenizer + explicit stack machine —
-measured 1.8x faster than the html.parser implementation it replaces on the
-synthetic web corpus (pure-Python callback dispatch dominated).  The
-html.parser implementation now lives in tools/serial_reference.py as the
-INDEPENDENT golden-oracle counterpart (different architecture, same spec,
-equality pinned by test_serial_reference_matches_kernels).  Tokenizer
-leniency: comments/doctypes are stripped first; a bare '<' that opens no
-well-formed tag is treated as text.
+Architecture (rounds 4-5): a flat regex tokenizer + explicit stack machine
+(faster than event-callback dispatch on this corpus).  The stack machine is
+ours; the tokenizer is a faithful port of stdlib html.parser's scanning
+(round 5, after the r04 ADVICE divergences) so that real-world malformed
+markup parses identically to the INDEPENDENT golden oracle in
+tools/serial_reference.py, which drives actual html.parser callbacks —
+equality pinned by test_serial_reference_matches_kernels plus a 40k-doc
+pathological fuzz (0 divergences at last regeneration).  Leniency summary: a
+bare '<' that opens no well-formed tag is literal text; '</'+junk is a bogus
+comment; script/style bodies are CDATA; stdlib marked-section errors
+(<![xyz]>) raise the same exception text, which doc-level error isolation
+turns into the same error span on both sides.
 """
 
 from __future__ import annotations
@@ -55,14 +59,166 @@ _SELF_CLOSE_SAME = {"p", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6"}
 _VOID = {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
          "embed", "source", "track", "wbr"}
 _WS_RE = re.compile(r"\s+")
-# one token per tag: group 1 = '/', group 2 = name, group 3 = attrs+self-slash
-_TOKEN = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
-_MARKUP_SKIP = re.compile(r"<!--.*?-->|<![^>]*>|<\?[^>]*>", re.S)
+# --- tokenizer: a faithful port of stdlib html.parser's scanning (CPython
+# 3.11 Lib/html/parser.py + Lib/_markupbase.py, public source), minus the
+# event-dispatch machinery.  Parity fixes over the r04 regex (r04 ADVICE):
+#   - tag-name charset [a-zA-Z][^\t\n\r\f />\x00]* — <p-card> is 'p-card',
+#     not a truncated <p>
+#   - self-closing only when a standalone '/' precedes '>': an UNQUOTED
+#     attribute value swallows a trailing slash (<a href=http://x.com/> is a
+#     plain start tag), so a_depth no longer resets and link text cannot
+#     escape the link-density filter
+#   - end tags tolerate '</ li>' / '</p junk>' (endtagfind + tagfind
+#     recovery); '</'+junk is a bogus comment consumed through '>'
+#   - comments close on --\s*>, declarations/PIs/marked sections consume
+#     in-stream (the old pre-strip spliced malformed-tag boundaries)
+#   - script/style content is CDATA: markup inside is raw text until a
+#     conforming matching close tag
+_LOCATE_START = re.compile(
+    r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*      # tag name
+  (?:[\s/]*                         # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]* # attribute name
+      (?:\s*=+\s*                   # value indicator
+        (?:'[^']*'                  # LITA-enclosed value
+          |"[^"]*"                  # LIT-enclosed value
+          |(?!['"])[^>\s]*          # bare value
+        )
+        (?:\s*,)*                   # possibly followed by a comma
+      )?(?:\s|/(?!>))*
+    )*
+  )?
+  \s*                               # trailing whitespace
+""",
+    re.VERBOSE,
+)
+_TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_MS_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MS_CLOSE2 = re.compile(r"]\s*]\s*>")  # <![CDATA[ .. ]]>-style sections
+_MS_CLOSE1 = re.compile(r"]\s*>")  # <![if ..]>-style sections
+# next-char classes after a located start tag that mean "input ended inside
+# the tag" (check_for_whole_start_tag's letters/=// set)
+_INCOMPLETE_NEXT = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+# html.parser CDATA_CONTENT_ELEMENTS: inside these, markup is raw text until
+# a matching close tag — '<p>' inside a script string must not open a block
+_CDATA_ELEMS = ("script", "style")
+_CDATA_CLOSE = {e: re.compile(r"</\s*" + e, re.I) for e in _CDATA_ELEMS}
+
+
+def _fallback(html: str, i: int) -> tuple[int, str]:
+    """goahead's end-of-feed recovery for an unparseable '<' construct: raw
+    data through the next '>', else up to the next '<', else one char."""
+    gt = html.find(">", i + 1)
+    if gt >= 0:
+        return gt + 1, html[i : gt + 1]
+    lt = html.find("<", i + 1)
+    if lt >= 0:
+        return lt, html[i:lt]
+    return i + 1, html[i : i + 1]
+
+
+def _parse_start(
+    html: str, i: int
+) -> tuple[int, str | None, bool, str | None, bool]:
+    """check_for_whole_start_tag + parse_starttag port.
+    Returns (newpos, tagname|None, selfclosing, data_chunk|None, chunk_raw):
+    recovery chunks are entity-decoded like any data (goahead's k<0 branch
+    under convert_charrefs); only parse_starttag's junk-tail chunk is raw."""
+    j = _LOCATE_START.match(html, i).end()
+    nxt = html[j : j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/" and html.startswith("/>", j):
+        endpos = j + 2
+    elif nxt == "" or nxt in _INCOMPLETE_NEXT:
+        pos, chunk = _fallback(html, i)  # input ended inside the tag
+        return pos, None, False, chunk, False
+    else:
+        endpos = j  # bogus input after the locatable part
+    tm = _TAGFIND.match(html, i + 1)
+    name = tm.group(1).lower()
+    k = tm.end()
+    while k < endpos:
+        am = _ATTRFIND.match(html, k)
+        if not am:
+            break
+        k = am.end()
+    tail = html[k:endpos].strip()
+    if tail == ">":
+        return endpos, name, False, None, False
+    if tail == "/>":
+        return endpos, name, True, None, False
+    return endpos, None, False, html[i:endpos], True  # junk tail: raw data
+
+
+def _parse_end(html: str, i: int) -> tuple[int, str | None, str | None]:
+    """parse_endtag port.  Returns (newpos, endname|None, chunk|None):
+    '</name junk>' still fires end(name); '</'+junk is a bogus comment
+    (dropped through '>'); '</>' vanishes; EOF leaves '</...' as data
+    (entity-decoded by the caller, per goahead's recovery branch)."""
+    gt = html.find(">", i + 1)
+    if gt < 0:
+        pos, chunk = _fallback(html, i)
+        return pos, None, chunk
+    m = _ENDTAG.match(html, i)
+    if m:
+        return gt + 1, m.group(1).lower(), None
+    tm = _TAGFIND.match(html, i + 2)
+    if tm:
+        return gt + 1, tm.group(1).lower(), None
+    if html.startswith("</>", i):
+        return i + 3, None, None
+    return gt + 1, None, None  # bogus comment
+
+
+def _parse_decl(html: str, i: int) -> tuple[int, str | None]:
+    """parse_comment / parse_marked_section / parse_html_declaration port —
+    all dropped content, only the consumption endpoint (and the stdlib's
+    marked-section exceptions, which the doc-level error isolation turns into
+    the same error span as the html.parser oracle) matters.
+    Returns (newpos, raw_chunk|None)."""
+    n = len(html)
+    if html.startswith("<!--", i):
+        m = _COMMENT_CLOSE.search(html, i + 4)
+        if m:
+            return m.end(), None
+        return _fallback(html, i)
+    if html.startswith("<![", i):
+        if i + 3 == n:
+            return _fallback(html, i)
+        nm = _MS_NAME.match(html, i + 3)
+        if not nm:
+            raise AssertionError("expected name token at %r" % html[i : i + 20])
+        if nm.end() == n:
+            return _fallback(html, i)  # name runs to end of buffer
+        sect = nm.group().strip().lower()
+        if sect in ("temp", "cdata", "ignore", "include", "rcdata"):
+            m = _MS_CLOSE2.search(html, i + 3)
+        elif sect in ("if", "else", "endif"):
+            m = _MS_CLOSE1.search(html, i + 3)
+        else:
+            raise AssertionError(
+                "unknown status keyword %r in marked section"
+                % html[i + 3 : nm.end()]
+            )
+        if m:
+            return m.end(), None
+        return _fallback(html, i)
+    gt = html.find(">", i + 2)  # doctype / declaration / bogus comment
+    if gt >= 0:
+        return gt + 1, None
+    return _fallback(html, i)
 
 
 def extract_main(html: str) -> list[str]:
     """HTML -> ordered list of main-content block texts."""
-    html = _MARKUP_SKIP.sub("", html or "")
+    html = html or ""
     blocks: list[str] = []
     stack: list[dict] = []  # {tag, parts, link, total, cells}
     prune = 0
@@ -157,10 +313,13 @@ def extract_main(html: str) -> list[str]:
                 if match:
                     break
 
-    def data(text: str) -> None:
+    def data(text: str, raw: bool = False) -> None:
+        # raw=True mirrors html.parser's recovery paths, which emit the
+        # chunk without character-reference decoding
         if prune or not stack or not text:
             return
-        text = _unescape(text)
+        if not raw:
+            text = _unescape(text)
         b = stack[-1]
         b["parts"].append(text)
         n = len(_WS_RE.sub("", text))
@@ -168,20 +327,65 @@ def extract_main(html: str) -> list[str]:
         if a_depth:
             b["link"] += n
 
-    pos = 0
-    for m in _TOKEN.finditer(html):
-        if m.start() > pos:
-            data(html[pos : m.start()])
-        pos = m.end()
-        closing, name, rest = m.group(1), m.group(2).lower(), m.group(3)
-        if closing:
-            end(name)
+    pos, n = 0, len(html)
+    cdata: str | None = None
+    while pos < n:
+        if cdata is not None:
+            # CDATA content mode (script/style): raw text — pruned, since
+            # both elements are boilerplate — until a conforming close tag;
+            # '</script x>'-style near-misses stay data and the mode continues
+            mm = _CDATA_CLOSE[cdata].search(html, pos)
+            if not mm:
+                break  # unterminated: EOF ends the element (text is pruned)
+            em = _ENDTAG.match(html, mm.start())
+            if em and em.group(1).lower() == cdata:
+                end(cdata)
+                cdata = None
+                pos = em.end()
+            else:
+                gt = html.find(">", mm.start() + 1)
+                if gt < 0:
+                    break
+                pos = gt + 1
+            continue
+        lt = html.find("<", pos)
+        if lt < 0:
+            data(html[pos:])
+            break
+        if lt > pos:
+            data(html[pos:lt])
+        pos = lt
+        c = html[lt + 1 : lt + 2]
+        if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            pos, name, selfclose, chunk, chunk_raw = _parse_start(html, lt)
+            if chunk is not None:
+                data(chunk, raw=chunk_raw)
+            elif name is not None:
+                start(name)
+                if selfclose:
+                    end(name)  # <tag/> = start+end (startendtag parity)
+                elif name in _CDATA_ELEMS:
+                    cdata = name
+        elif c == "/":
+            pos, ename, chunk = _parse_end(html, lt)
+            if chunk is not None:
+                data(chunk)
+            elif ename is not None:
+                end(ename)
+        elif c == "!":
+            pos, chunk = _parse_decl(html, lt)
+            if chunk is not None:
+                data(chunk)
+        elif c == "?":
+            gt = html.find(">", lt + 2)  # processing instruction: dropped
+            if gt >= 0:
+                pos = gt + 1
+            else:
+                pos, chunk = _fallback(html, lt)
+                data(chunk)
         else:
-            start(name)
-            if rest.rstrip().endswith("/") and name not in _VOID:
-                end(name)  # <tag/> = start+end (html.parser startendtag parity)
-    if pos < len(html):
-        data(html[pos:])
+            data("<", raw=True)  # lone '<' before a non-tag char is literal
+            pos = lt + 1
     while stack:  # EOF flush: still-open blocks emit, not discarded
         emit_top()
     return blocks

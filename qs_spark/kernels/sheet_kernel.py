@@ -95,7 +95,19 @@ def _fast_read_frame(text: str, skiprows: int | None = None) -> pd.DataFrame:
     n = len(next(iter(col_dict.values()))) if col_dict else 0
     idx = pd.RangeIndex(0, n) if index is None else index
     arrays = [col_dict[c] for c in columns]
-    return pd.DataFrame._from_arrays(arrays, columns, idx, verify_integrity=False)
+    df = pd.DataFrame._from_arrays(arrays, columns, idx, verify_integrity=False)
+    # per-frame invariant on the private-API construction (r04 ADVICE): the
+    # frame must mirror the engine output exactly — shape, labels, and
+    # per-column dtype (metadata-only, no data pass).  A violation raises,
+    # which _read_csv turns into a fallback to the public loader; the
+    # per-process battery alone could miss a non-raising construction drift
+    # on an input class outside it.
+    if df.shape != (n, len(columns)) or list(df.columns) != list(columns):
+        raise RuntimeError("fast-frame construction mismatch (shape/columns)")
+    for got_dt, arr in zip(df.dtypes, arrays):
+        if got_dt != getattr(arr, "dtype", got_dt):
+            raise RuntimeError("fast-frame construction mismatch (dtype)")
+    return df
 
 
 def _fast_read_ok() -> bool:

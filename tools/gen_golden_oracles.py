@@ -328,7 +328,13 @@ def gen_x48() -> None:
 
     import numpy as np
 
-    from qs_spark.multimodal import EMBED_DIM, _decode, _synth_bmp, _synth_wav
+    from qs_spark.multimodal import (
+        EMBED_DIM,
+        _decode,
+        _synth_bmp,
+        _synth_png,
+        _synth_wav,
+    )
 
     rows = []
     for i in range(512):
@@ -338,6 +344,8 @@ def gen_x48() -> None:
             payload, duration_ms = _synth_wav(i)
         elif mime == "image/bmp":
             payload, _, _ = _synth_bmp(i)
+        elif mime == "image/png":
+            payload, _, _ = _synth_png(i)
         else:
             import hashlib
 

@@ -24,9 +24,9 @@ semantics with plain dicts and loops:
     REAL df.to_string(index=False) call — none of the pipeline's closed-form
     fast paths exist here
   - txt: the documented sentence-split + greedy-pack spec
-  - html: the north-rule main-content spec re-implemented as a regex
-    tokenizer + explicit stack machine (the pipeline uses stdlib
-    html.parser — different architecture, same spec)
+  - html: the north-rule main-content spec driven by stdlib html.parser
+    event callbacks (the pipeline kernel rides a regex tokenizer + explicit
+    stack machine — different architecture, same spec)
   - order: enumeration after empty-unit drops (add_metadata's
     page_no = idx+1, ameya_dataprocessing_core whl!core/files/utils.py:110)
   - error isolation: any exception -> one {kind:'error', order:-1} span
