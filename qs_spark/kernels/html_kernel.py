@@ -93,6 +93,19 @@ _LOCATE_START = re.compile(
     re.VERBOSE,
 )
 _TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+# Hot-path shortcuts for the overwhelmingly common well-formed shapes; both
+# are strict SUBSETS of the tolerant grammar, constructed so that any input
+# they accept is parsed identically by the slow path (names without exotic
+# chars; attr bodies without bare '/', so an unquoted value ending in '/'
+# can never be misread as self-closing; quoted values may hold '>' but not
+# '<').  Anything else falls through to the faithful html.parser port.
+_SIMPLE_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][a-zA-Z0-9._:-]*"
+    r"(?:=(?:\"[^\"<]*\"|'[^'<]*'|[^<>\s\"'/]+))?)*\s*)"
+    r"(/?)>"
+)
+_SIMPLE_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
 _ATTRFIND = re.compile(
     r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
     r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
@@ -357,16 +370,34 @@ def extract_main(html: str) -> list[str]:
         pos = lt
         c = html[lt + 1 : lt + 2]
         if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
-            pos, name, selfclose, chunk, chunk_raw = _parse_start(html, lt)
-            if chunk is not None:
-                data(chunk, raw=chunk_raw)
-            elif name is not None:
+            m = _SIMPLE_START.match(html, lt)
+            if m and not (
+                m.group(3)
+                and m.group(2)
+                and m.group(2)[-1] not in "\"' \t\n\r\f"
+                # a trailing '/' right after an unquoted value belongs to the
+                # value (html.parser attr semantics) — tolerant path decides
+            ):
+                name = m.group(1).lower()
+                selfclose = bool(m.group(3))
+                pos = m.end()
+            else:
+                pos, name, selfclose, chunk, chunk_raw = _parse_start(html, lt)
+                if chunk is not None:
+                    data(chunk, raw=chunk_raw)
+                    continue
+            if name is not None:
                 start(name)
                 if selfclose:
                     end(name)  # <tag/> = start+end (startendtag parity)
                 elif name in _CDATA_ELEMS:
                     cdata = name
         elif c == "/":
+            m = _SIMPLE_END.match(html, lt)
+            if m:
+                end(m.group(1).lower())
+                pos = m.end()
+                continue
             pos, ename, chunk = _parse_end(html, lt)
             if chunk is not None:
                 data(chunk)
