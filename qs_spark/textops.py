@@ -105,6 +105,7 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
     P = MINHASH_P
 
     def kernel(batches):
+        import numpy as np
         import pandas as pd
 
         # text arrives already norm_text()-normalized (JVM-side lowercase +
@@ -114,8 +115,15 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
         # str.lower() path differed on locale-ish codepoints like Turkish
         # dotted I, and re.ASCII \s was only a partial fix; pinned by the
         # planted non-ASCII case in test_minhash_kernel_matches_jvm_exprs).
+        #
+        # Hash split without hex parsing: hex[0:15] IS digest bytes 0..7 >> 4
+        # (60 bits), hex[16:31] IS bytes 8..15 >> 4 — bit-identical to the
+        # int(hexdigest[...], 16) form, ~2x less per-shingle Python.  The k
+        # permutation minima vectorize per doc in numpy ((h1 + i*h2) mod P
+        # stays < 2^41, no overflow in int64).
+        perm = np.arange(k, dtype=np.int64)[:, None]
         for pdf in batches:
-            ids, cols = [], [[] for _ in range(k)]
+            ids, sigs = [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
@@ -124,16 +132,21 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
                     shs = [" ".join(toks)]
                 else:
                     shs = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-                pairs = []
-                for sh in shs:
-                    d = hashlib.md5(sh.encode("utf-8")).hexdigest()
-                    pairs.append((int(d[:15], 16) % P, int(d[16:31], 16) % P))
+                m = len(shs)
+                h1 = np.empty(m, dtype=np.int64)
+                h2 = np.empty(m, dtype=np.int64)
+                for j, sh in enumerate(shs):
+                    dg = hashlib.md5(sh.encode("utf-8")).digest()
+                    h1[j] = int.from_bytes(dg[:8], "big") >> 4
+                    h2[j] = int.from_bytes(dg[8:16], "big") >> 4
                 ids.append(did)
-                for i in range(k):
-                    cols[i].append(min((a + i * b) % P for a, b in pairs))
+                sigs.append(((h1 % P + perm * (h2 % P)) % P).min(axis=1))
             out = {"doc_id": ids}
+            sig_mat = (
+                np.stack(sigs) if sigs else np.empty((0, k), dtype=np.int64)
+            )
             for i in range(k):
-                out[f"mh{i}"] = pd.Series(cols[i], dtype="int64")
+                out[f"mh{i}"] = pd.Series(sig_mat[:, i], dtype="int64")
             yield pd.DataFrame(out)
 
     inp = docs.select("doc_id", norm_text().alias("text"))
@@ -187,15 +200,25 @@ def lsh_buckets(sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> 
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def exact_dedup_rep_ids(docs: DataFrame) -> DataFrame:
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Slim (fp, doc_id) projection — md5 of the normalized text, row-local.
+    Callers that need fingerprints more than once (near_dup_clusters uses
+    them for BOTH the exact-dup edges and the LSH representative filter)
+    should compute this once and cache it: each evaluation is a full
+    text scan at 100 TB."""
+    return docs.select(F.md5(norm_text()).alias("fp"), "doc_id")
+
+
+def exact_dedup_rep_ids(docs: DataFrame, fps: DataFrame | None = None) -> DataFrame:
     """doc_ids of exact-dup cluster representatives (min doc_id per
     normalized-text fingerprint).  The fingerprint is computed row-local and
     only the slim (fp, doc_id) pair shuffles — never the text (the first
     round-3 form windowed the full text by fp and cost ~60% extra wall time
     at sf0.1); dedup_exact carries the per-cluster n_dups weight when a
-    caller needs to re-expand."""
+    caller needs to re-expand.  Pass a precomputed `fps` to share one
+    fingerprint scan across pipeline stages."""
     return (
-        docs.select(F.md5(norm_text()).alias("fp"), "doc_id")
+        (fps if fps is not None else doc_fingerprints(docs))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -206,7 +229,9 @@ LSH_MAX_BUCKET = 4096
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, max_bucket_size: int = LSH_MAX_BUCKET
+    docs: DataFrame,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates: pairs of exact-dup-cluster REPRESENTATIVES
     sharing any band bucket.
@@ -237,7 +262,7 @@ def lsh_candidate_pairs(
     disk under pressure; callers release it via cachereg.release_caches()."""
     b = scoped_cache(
         lsh_buckets(minhash_signatures(docs)).join(
-            exact_dedup_rep_ids(docs), "doc_id", "left_semi"
+            exact_dedup_rep_ids(docs, fps=fps), "doc_id", "left_semi"
         )
     )
     sizes = b.groupBy("band", "bucket").agg(
@@ -335,7 +360,10 @@ def simhash_near_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, max_bucket_size: int = LSH_MAX_BUCKET
+    docs: DataFrame,
+    n: int = 3,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity over LSH candidate pairs — the scale path.
 
@@ -352,7 +380,7 @@ def ngram_jaccard_pairs(
     (measured 2.3x on the sf0.1 bench).  cand and sh are scoped-cached: each
     is consumed by 2-3 downstream joins and cand's lineage contains the
     whole MinHash+banding job."""
-    cand = scoped_cache(lsh_candidate_pairs(docs, max_bucket_size))
+    cand = scoped_cache(lsh_candidate_pairs(docs, max_bucket_size, fps=fps))
     cdocs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -388,6 +416,7 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 50,
+    local_below: int = 200_000,
     broadcast_below: int = 2_000_000,
 ) -> DataFrame:
     """Cluster assignment for a near-dup pair graph — the stage every dedup
@@ -422,26 +451,52 @@ def connected_components(
       - label init is FUSED into the first propagate: symmetric edges mean
         every node appears as dst, so labels0 = least(dst, min(src)) per dst
         — one aggregate replaces distinct + init-join + a full first round;
-      - below `broadcast_below` edges the per-round joins broadcast the
-        label/message sides (driver round-trips of a few MB beat three
-        shuffle exchanges per round by ~2x wall at sandbox scale; the
-        identical-output equivalence is pinned by test).  Above it, the
-        shuffle plan of r04 runs unchanged — at 100 TB broadcasts would not
-        fit and AQE handles within-round sizing."""
+      - below `local_below` edges the component computation runs as a
+        DRIVER-LOCAL union-find over the collected edge list (path
+        compression + union-by-min, so each root IS the component minimum).
+        This moves exactly the bytes a broadcast join of the same graph
+        would ship through the driver, replaces 3-4 scheduling-bound jobs
+        PER ROUND with one toPandas, and is identical-output by test.  A
+        248-edge sf0.1 dup graph went from ~6 s of distributed rounds to
+        <0.5 s.  Above the threshold (real 100 TB dup graphs) the r04
+        shuffle loop runs unchanged;
+      - below `broadcast_below` edges (but above local), the per-round
+        joins broadcast the label/message sides instead of shuffling both."""
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=False)
     ne = edges.count()  # one job: materializes the checkpoint + sizes the loop
     spark = pairs.sparkSession
+    ntype = pairs.schema[a].dataType.simpleString()
+    if ne == 0:
+        return spark.createDataFrame([], f"node {ntype}, cluster {ntype}")
+    if ne <= local_below:
+        pdf = edges.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs  # union by MIN: every root is its comp min
+        nodes = set(pdf["src"].tolist())  # symmetric edges: src covers all
+        return spark.createDataFrame(
+            [(x, find(x)) for x in sorted(nodes)], f"node {ntype}, cluster {ntype}"
+        )
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     nparts = max(1, min(default_parts, ne // 200_000))
     small_graph = ne <= broadcast_below
     bc = F.broadcast if small_graph else (lambda d: d)
-    if ne == 0:
-        return pairs.sparkSession.createDataFrame(
-            [], f"node {pairs.schema[a].dataType.simpleString()}, cluster {pairs.schema[a].dataType.simpleString()}"
-        )
     if edges.rdd.getNumPartitions() > 4 * nparts:
         # only re-materialize when AQE's coalesced layout is far off target
         edges = edges.repartition(nparts, "src").localCheckpoint(eager=True)
@@ -505,13 +560,16 @@ def near_dup_clusters(
     connected components -> (doc_id, cluster, is_representative).  Keep rows
     with is_representative to drop duplicates.  Every stage is the
     bucket-local / capped scale path documented on its function."""
+    # ONE fingerprint scan feeds both the exact edges and the LSH
+    # representative filter (each evaluation reads every document's text —
+    # two scans at 100 TB is a real cost, r05)
+    fps = scoped_cache(doc_fingerprints(docs))
     exact_edges = (
-        docs.select("doc_id", F.md5(norm_text()).alias("fp"))
-        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
+        fps.withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    near_edges = ngram_jaccard_pairs(docs, n, max_bucket_size).filter(
+    near_edges = ngram_jaccard_pairs(docs, n, max_bucket_size, fps=fps).filter(
         F.col("jaccard") >= jaccard_threshold
     ).select("doc_a", "doc_b")
     comp = connected_components(exact_edges.unionByName(near_edges))

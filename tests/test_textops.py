@@ -423,11 +423,11 @@ def test_connected_components_min_label(spark):
     assert all(got[10 + i] == 10 for i in range(9))
 
 
-def test_connected_components_broadcast_equals_shuffle_path(spark):
-    """r05: below `broadcast_below` the loop joins broadcast their small
-    sides (a sandbox/cluster-tail optimization); the 100 TB shuffle plan must
-    produce IDENTICAL labels.  Mixed topology: clique + long chain + star +
-    singletons-in-pairs."""
+def test_connected_components_tiers_identical(spark):
+    """r05: the three execution tiers — driver-local union-find (tiny
+    graphs), broadcast-join rounds (small), shuffle-join rounds (the 100 TB
+    plan) — must produce IDENTICAL labels.  Mixed topology: clique + long
+    chain + star + singletons-in-pairs."""
     edges = (
         [(1, 2), (2, 3), (1, 3)]
         + [(10 + i, 11 + i) for i in range(12)]
@@ -435,17 +435,21 @@ def test_connected_components_broadcast_equals_shuffle_path(spark):
         + [(500, 501)]
     )
     pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
-    via_broadcast = (
-        X.connected_components(pairs).toPandas().sort_values("node").reset_index(drop=True)
-    )
-    via_shuffle = (
-        X.connected_components(pairs, broadcast_below=0)
-        .toPandas()
-        .sort_values("node")
-        .reset_index(drop=True)
-    )
-    assert via_broadcast.equals(via_shuffle)
-    assert set(via_broadcast.cluster) == {1, 10, 100, 500}
+
+    def run(**kw):
+        return (
+            X.connected_components(pairs, **kw)
+            .toPandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    via_local = run()
+    via_broadcast = run(local_below=0)
+    via_shuffle = run(local_below=0, broadcast_below=0)
+    assert via_local.equals(via_broadcast)
+    assert via_local.equals(via_shuffle)
+    assert set(via_local.cluster) == {1, 10, 100, 500}
 
 
 def test_near_dup_clusters_drop_duplicates(spark):
