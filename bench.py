@@ -281,6 +281,12 @@ def main_bench() -> None:
         "trials": TRIALS,
         "trials_sec": trials,
         "hypervisor_steal_pct": round(100.0 * (steal1 - steal0) / dt, 2),
+        # multicore hardware control: per-proc md5 throughput at CPUS procs.
+        # Steal alone misses neighbor/bandwidth contention — a session was
+        # observed with steal=0.0 yet HALF the calm-window per-proc rate at
+        # 8/32 procs (r04 calm: ~1.5M/s at 8).  This figure lets any round's
+        # suite seconds be normalized against what the box could deliver.
+        "hw_md5_per_proc": round(_hw_control(CPUS, 400_000) / CPUS, 1),
         **extras,
     }
     print(json.dumps(out))

@@ -376,3 +376,95 @@ def test_html_nested_table_keeps_outer_row():
     assert extract_main("<table>junk<tr><td>a</td></tr></table>") == ["a"]
     # a malformed end tag must not unwind across the table boundary
     assert extract_main("<ul><li>o<table></li></table>p</ul>") == ["op"]
+
+
+# ---- pure (pandas-free) sheet path ----
+
+
+def test_pure_sheet_battery_validates():
+    import qs_spark.kernels.sheet_kernel as sk
+
+    assert sk._pure_model_ok()
+
+
+def test_pure_sheet_parity_on_corpus_and_random_budgets():
+    """The pandas-free parse+chunk must byte-match the read_csv +
+    chunk_frame_reference pipeline on in-grammar corpus sheets — including
+    which exceptions are raised (the message lands in the error span)."""
+    import qs_spark.kernels.sheet_kernel as sk
+    from qs_spark.corpus import gen_doc
+    from qs_spark.kernels.dispatch import fmt_of_spans
+
+    n_pure = 0
+    for i in range(900):
+        did, spans = gen_doc(i)
+        fmt = fmt_of_spans(spans)
+        if fmt not in ("xlsx", "csv"):
+            continue
+        excel = fmt == "xlsx"
+        for sp in spans:
+            text = sp["text"] or ""
+            if text.count("\n") > 45:
+                continue  # the O(rows^2) oracle is too slow on big sheets
+            for cs in (sk.CHUNK_SIZE, 300, 120):
+                try:
+                    pure, perr = sk._pure_sheet_chunks(text, excel, cs), None
+                except Exception as e:  # noqa: BLE001
+                    pure, perr = "RAISED", f"{type(e).__name__}: {e}"
+                try:
+                    df = sk._read_with_unnamed_retry(text, excel)
+                    want = [] if df is None else sk.chunk_frame_reference(df, cs)
+                    werr = None
+                except Exception as e:  # noqa: BLE001
+                    want, werr = "RAISED", f"{type(e).__name__}: {e}"
+                if pure is None:
+                    continue
+                n_pure += 1
+                if perr is not None:
+                    assert perr == werr, (i, cs, perr, werr)
+                else:
+                    assert pure == want, (i, cs, text[:80])
+    assert n_pure > 300  # the corpus grammar should ride the pure path
+
+
+def test_pure_sheet_declines_out_of_grammar():
+    """Quotes, numerics, NA/bool/inf tokens, empties, ragged rows, blank
+    lines, dup labels: the pure path must decline (None) so read_csv's
+    inference/error semantics stay authoritative."""
+    import qs_spark.kernels.sheet_kernel as sk
+
+    cases = [
+        'a,b\n"q",x',
+        "a,b\nx,1",
+        "a,b\nx,2.5",
+        "a,b\nx,",
+        "a,b\nx,True",
+        "a,b\nx,FALSE",
+        "a,b\nx,NaN",
+        "a,b\nx,na",
+        "a,b\nx,Infinity",
+        "a,b\nx,y\n",
+        "a,b\nx,y\n\nz,w",
+        "a,a\nx,y",
+        "a,b\nx,y,z",
+        "a,b\nx,y\tz",
+        ",,\n,,",  # csv mode must decline (EmptyDataError parity)
+    ]
+    for text in cases:
+        assert sk._pure_sheet_chunks(text, False) is None, text
+
+
+def test_pure_sheet_unnamed_retry_and_quirks():
+    import qs_spark.kernels.sheet_kernel as sk
+
+    # junk header line -> retry consumes it, same as read_csv skiprows loop
+    text = ",,\nh0,h1,h2\naa x,bb,cc\ndd,ee,ff"
+    for excel in (True, False):
+        pure = sk._pure_sheet_chunks(text, excel)
+        df = sk._read_with_unnamed_retry(text, excel)
+        assert pure == sk.chunk_frame_reference(df)
+    # 1-row sheet -> pandas' empty-frame repr, byte-exact
+    pure = sk._pure_sheet_chunks("a,b_col\nonly,row", True)
+    assert pure == ["Empty DataFrame\nColumns: [a, b_col]\nIndex: []"]
+    # retry exhaustion in excel mode: sheet skipped without pandas
+    assert sk._pure_sheet_chunks(",,\n,,", True) == []
