@@ -59,6 +59,17 @@ _SELF_CLOSE_SAME = {"p", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6"}
 _VOID = {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
          "embed", "source", "track", "wbr"}
 _WS_RE = re.compile(r"\s+")
+# exact ASCII subset of the regex's \s, built by probing it — used to count
+# non-whitespace chars (link-density stat) without a per-chunk re.sub; the
+# non-ASCII path keeps the regex so unicode whitespace semantics are
+# untouched
+_WS_DEL = {i: None for i in range(128) if _WS_RE.match(chr(i))}
+
+
+def _nonws_len(text: str) -> int:
+    if text.isascii():
+        return len(text.translate(_WS_DEL))
+    return len(_WS_RE.sub("", text))
 # --- tokenizer: a faithful port of stdlib html.parser's scanning (CPython
 # 3.11 Lib/html/parser.py + Lib/_markupbase.py, public source), minus the
 # event-dispatch machinery.  Parity fixes over the r04 regex (r04 ADVICE):
@@ -335,7 +346,7 @@ def extract_main(html: str) -> list[str]:
             text = _unescape(text)
         b = stack[-1]
         b["parts"].append(text)
-        n = len(_WS_RE.sub("", text))
+        n = _nonws_len(text)
         b["total"] += n
         if a_depth:
             b["link"] += n

@@ -586,6 +586,69 @@ def chunk_frame(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
     return chunks
 
 
+def chunk_frame_markdown(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list[str]:
+    """The reference's `result_type == "markdown"` chunker branch
+    (ameya_parser_excel whl!.../excel/extractors/simple_reader_extractor.py:53,65
+    and the csv twin): the SAME greedy loop, with chunk text rendered by
+    chunk.to_markdown(index=False) instead of to_string.
+
+    Reference-dead code: the consumer pins {"result_type": "text"}
+    (quanta-search-consumer/utils/util.py:307), so no production file ever
+    takes this branch.  pandas.to_markdown delegates to `tabulate`, which
+    this container does not ship — when tabulate is importable the branch
+    runs the real renderer (galloping + binary-search probes; len of a
+    pipe-table is monotone in the row count for the same width-only-grows
+    reason to_string's is), otherwise it raises NotImplementedError, the
+    same honest-gap policy as the codec-bound multimodal decoders."""
+    try:
+        import tabulate  # noqa: F401 — pandas' to_markdown backend
+    except ImportError as e:
+        raise NotImplementedError(
+            "result_type='markdown' needs the `tabulate` package "
+            "(pandas.to_markdown backend), which is not installed; the "
+            "reference consumer pins result_type='text' so this branch is "
+            "dead in production"
+        ) from e
+
+    num_rows = df.shape[0]
+    _row = 0
+    chunks: list[str] = []
+
+    def fits(i: int) -> bool:
+        return len(df.iloc[_row : i + 1].to_markdown(index=False)) < chunk_size
+
+    while _row < num_rows:
+        if fits(num_rows - 1):
+            _p_row_num = num_rows - 1
+        elif not fits(_row):
+            _p_row_num = 0  # reference: inner loop breaks on first probe
+        else:
+            lo, step, hi = _row, 1, None
+            while hi is None:
+                probe = lo + step
+                if probe >= num_rows:
+                    hi = num_rows - 1
+                elif fits(probe):
+                    lo, step = probe, step * 2
+                else:
+                    hi = probe
+            while hi - lo > 1:
+                mid = (lo + hi) // 2
+                if fits(mid):
+                    lo = mid
+                else:
+                    hi = mid
+            _p_row_num = lo
+        if _p_row_num + 1 <= _row and _row > 0:
+            raise ValueError(
+                f"row {_row} alone exceeds chunk_size={chunk_size}; "
+                "reference semantics would loop forever"
+            )
+        chunks.append(df.iloc[_row:_p_row_num].to_markdown(index=False))
+        _row = _p_row_num + 1
+    return chunks
+
+
 # ---------------------------------------------------------------------------
 # PURE path: pandas-free parse + chunk for the restricted sheet grammar
 # ---------------------------------------------------------------------------
@@ -752,27 +815,37 @@ def _pure_model_ok() -> bool:
 
 
 def walk_sheets(
-    raw_spans: list[dict], excel_mode: bool, chunk_size: int = CHUNK_SIZE
+    raw_spans: list[dict],
+    excel_mode: bool,
+    chunk_size: int = CHUNK_SIZE,
+    result_type: str = "text",
 ) -> list[dict]:
     """All sheets of one workbook (one raw span per sheet, in sheet order) ->
     concatenated chunk streams as {kind:'table_chunk', text, media_ref:''}.
+
+    result_type mirrors the reference loader option: "text" (the production
+    value — the consumer pins it) renders to_string chunks; "markdown"
+    renders to_markdown chunks (reference-dead branch, see
+    chunk_frame_markdown for the tabulate gate).
 
     File-level gate (ref simple_directory_reader: `if not docs[0].text`):
     if the FIRST emitted chunk has falsy text the whole file is skipped; if no
     chunks at all were produced the reference raises (docs[0] IndexError ->
     extraction error) and the file contributes nothing.
     """
+    chunker = chunk_frame if result_type == "text" else chunk_frame_markdown
     chunks: list[str] = []
     for sp in raw_spans:
         text = sp["text"] or ""
-        pure = _pure_sheet_chunks(text, excel_mode, chunk_size)
-        if pure is not None:
-            chunks.extend(pure)
-            continue
+        if result_type == "text":
+            pure = _pure_sheet_chunks(text, excel_mode, chunk_size)
+            if pure is not None:
+                chunks.extend(pure)
+                continue
         df = _read_with_unnamed_retry(text, excel_mode)
         if df is None:
             continue
-        chunks.extend(chunk_frame(df, chunk_size))
+        chunks.extend(chunker(df, chunk_size))
     if not chunks or not chunks[0]:
         return []
     return [{"kind": "table_chunk", "text": c, "media_ref": ""} for c in chunks]

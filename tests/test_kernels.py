@@ -468,3 +468,44 @@ def test_pure_sheet_unnamed_retry_and_quirks():
     assert pure == ["Empty DataFrame\nColumns: [a, b_col]\nIndex: []"]
     # retry exhaustion in excel mode: sheet skipped without pandas
     assert sk._pure_sheet_chunks(",,\n,,", True) == []
+
+
+# ---- result_type="markdown" branch (reference-dead code, tabulate-gated) ----
+
+
+def test_markdown_chunker_gated_on_tabulate():
+    """Without tabulate (this container), the markdown branch must raise a
+    clear NotImplementedError — same honest-gap policy as the codec stubs.
+    With tabulate, it must reproduce the reference loop: greedy fill,
+    end-exclusive emit (dropped row), to_markdown rendering."""
+    import qs_spark.kernels.sheet_kernel as sk
+
+    df = pd.DataFrame({"a": ["x1", "x2", "x3"], "b": ["y1", "y2", "y3"]})
+    try:
+        import tabulate  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="tabulate"):
+            sk.chunk_frame_markdown(df)
+        with pytest.raises(NotImplementedError, match="tabulate"):
+            sk.walk_sheets(
+                [_sp("sheet_rows", "a,b\nx,y\nz,w")],
+                excel_mode=True,
+                result_type="markdown",
+            )
+        return
+    # tabulate present: byte-equality with the reference's literal O(n^2) loop
+    def reference_md(df, chunk_size):
+        num_rows, _row, out = df.shape[0], 0, []
+        while _row < num_rows:
+            _p = 0
+            for i in range(_row, num_rows):
+                if len(df.iloc[_row : i + 1].to_markdown(index=False)) < chunk_size:
+                    _p = i
+                else:
+                    break
+            out.append(df.iloc[_row:_p].to_markdown(index=False))
+            _row = _p + 1
+        return out
+
+    for cs in (102400, 60, 40):
+        assert sk.chunk_frame_markdown(df, cs) == reference_md(df, cs), cs
