@@ -98,7 +98,8 @@ def test_features_use_real_decode_for_wav_bmp(spark):
         b = extract_features(m).toPandas().sort_values("media_ref").reset_index(drop=True)
     finally:
         os.environ["QS_FAKE_DECODE"] = "1"
-    assert len(a) == 16
+    # r05: 5-mime cycle -> wav is i%5==2, bmp i%5==1 over 32 rows
+    assert len(a) == sum(1 for i in range(32) if i % 5 in (1, 2))
     for x, y in zip(a["embedding"], b["embedding"]):
         assert list(x) == list(y)
 
@@ -224,6 +225,145 @@ def test_features_use_real_decode_for_png(spark):
         b = extract_features(m).toPandas().sort_values("media_ref").reset_index(drop=True)
     finally:
         os.environ["QS_FAKE_DECODE"] = "1"
-    assert len(a) == 8
+    assert len(a) == sum(1 for i in range(32) if i % 5 == 0)  # r05 5-mime cycle
     for x, y in zip(a["embedding"], b["embedding"]):
         assert list(x) == list(y)
+
+
+# ---- round 5: real JPEG codec + MP4 box parse + payload probe ----
+
+
+def test_jpeg_zigzag_is_spec_order():
+    from qs_spark.kernels.jpeg_codec import ZIGZAG
+
+    # T.81 figure 5, first 16 positions — any transposition breaks
+    # interoperability with real decoders
+    assert list(ZIGZAG[:16]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_jpeg_flat_image_decodes_exactly():
+    """A flat image is DC-only: quant(DC)/dequant/IDCT is computable by
+    hand, so the decode must be EXACT (the analytic anchor that replaces a
+    libjpeg diff, which this container can't run)."""
+    import numpy as np
+
+    from qs_spark.kernels.jpeg_codec import QUANT_LUMA, decode_jpeg, encode_jpeg
+
+    for v in (0, 37, 128, 200, 255):
+        img = np.full((24, 17), v, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (24 * 17,)
+        # closed form: DC = 8*(v-128); quantized with K.1 DC step 16 and
+        # round-half-even; reconstruction floor(q*16/8 + 128 + .5)
+        q = round(8 * (v - 128) / int(QUANT_LUMA[0, 0]))
+        # numpy round is half-even; python round too — consistent with encoder
+        want = int(np.clip(np.floor(q * int(QUANT_LUMA[0, 0]) / 8 + 128 + 0.5), 0, 255))
+        assert set(dec.tolist()) == {want}, (v, want, set(dec.tolist()))
+
+
+def test_jpeg_roundtrip_bounded_by_quantization():
+    import numpy as np
+
+    from qs_spark.kernels.jpeg_codec import decode_jpeg, encode_jpeg
+
+    g = np.fromfunction(lambda r, c: 40 + r * 2 + c, (40, 56)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(g)).reshape(40, 56)
+    assert np.abs(d.astype(int) - g.astype(int)).max() <= 4
+
+    rgb = np.zeros((32, 24, 3), np.uint8)
+    rgb[..., 0] = np.fromfunction(lambda r, c: 30 + r * 3, (32, 24))
+    rgb[..., 1] = np.fromfunction(lambda r, c: 60 + c * 4, (32, 24))
+    rgb[..., 2] = 120
+    d3 = decode_jpeg(encode_jpeg(rgb)).reshape(32, 24, 3)
+    assert np.abs(d3.astype(int) - rgb.astype(int)).max() <= 12  # chroma quant
+
+
+def test_jpeg_decoder_is_table_driven_and_rejects_nonbaseline():
+    import numpy as np
+    import pytest as _pytest
+
+    from qs_spark.kernels.jpeg_codec import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.full((8, 8), 90, np.uint8)))
+    # corrupting the DHT bits table must surface as a decode error, not
+    # silently wrong pixels (proves the decoder reads OUR tables)
+    i = payload.find(b"\xff\xc4")
+    corrupted = bytearray(payload)
+    for k in range(i + 5, i + 21):
+        corrupted[k] = 0  # zero out BITS -> no code can ever match
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(corrupted))
+    # progressive SOF2 must raise NotImplementedError, not garbage-decode
+    sof0 = payload.find(b"\xff\xc0")
+    prog = bytearray(payload)
+    prog[sof0 + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+
+def test_mp4_box_roundtrip_and_robustness():
+    import pytest as _pytest
+
+    from qs_spark.kernels.mp4_box import build_mp4, extract_mdat, parse_mp4_meta
+
+    p = build_mp4(3250, 640, 360, b"\x05\x06" * 99)
+    m = parse_mp4_meta(p)
+    assert (m["brand"], m["duration_ms"], m["width"], m["height"], m["n_tracks"]) == (
+        "isom", 3250, 640, 360, 1,
+    )
+    assert extract_mdat(p) == b"\x05\x06" * 99
+    with _pytest.raises(ValueError):
+        parse_mp4_meta(b"not a box structure")
+    # truncation must degrade, not crash/loop
+    assert parse_mp4_meta(p[:40])["duration_ms"] is None
+
+
+def test_all_corpus_mimes_decode_real():
+    """Every synthetic payload must decode through a REAL parser — the
+    digest stub (env-flag sensitive) must be unreachable for corpus mimes."""
+    import numpy as np
+
+    from qs_spark.multimodal import _decode, _decode_fake, synth_media_row
+
+    seen = set()
+    for i in range(20):
+        ref, mime, payload, meta = synth_media_row(i)
+        seen.add(mime)
+        real = _decode(payload, mime)
+        assert isinstance(real, np.ndarray) and real.dtype == np.uint8
+        assert len(real) > 0
+        fake = _decode_fake(payload, mime)
+        assert not np.array_equal(real, fake)  # the stub is NOT what ran
+    assert seen == {"image/png", "image/bmp", "audio/wav", "video/mp4", "image/jpeg"}
+
+
+def test_probe_media_validates_meta_column(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from qs_spark.multimodal import probe_media, synth_media_df
+
+    media = synth_media_df(spark, 40)
+    probed = probe_media(media).toPandas()
+    assert len(probed) == 40
+    assert probed["probe_error"].isna().all() or (probed["probe_error"] == None).all()  # noqa: E711
+    assert probed["meta_matches"].all(), probed[~probed["meta_matches"]].head()
+
+
+def test_probe_media_flags_lying_metadata(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from qs_spark.multimodal import probe_media, synth_media_df
+
+    media = synth_media_df(spark, 10).withColumn(
+        "meta",
+        F.struct(
+            (F.col("meta.width") + 1).alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+        ),
+    )
+    probed = probe_media(media).toPandas()
+    lying = probed[probed["mime"].str.startswith(("image/", "video/"))]
+    assert not lying["meta_matches"].any()

@@ -328,30 +328,12 @@ def gen_x48() -> None:
 
     import numpy as np
 
-    from qs_spark.multimodal import (
-        EMBED_DIM,
-        _decode,
-        _synth_bmp,
-        _synth_png,
-        _synth_wav,
-    )
+    from qs_spark.multimodal import EMBED_DIM, _decode, synth_media_row
 
     rows = []
     for i in range(512):
-        mime = ["image/png", "image/bmp", "audio/wav", "video/mp4"][i % 4]
-        duration_ms = None
-        if mime == "audio/wav":
-            payload, duration_ms = _synth_wav(i)
-        elif mime == "image/bmp":
-            payload, _, _ = _synth_bmp(i)
-        elif mime == "image/png":
-            payload, _, _ = _synth_png(i)
-        else:
-            import hashlib
-
-            payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 13)
-            if mime.startswith(("audio", "video")):
-                duration_ms = 1000 + (i % 100) * 250
+        ref, mime, payload, meta = synth_media_row(i)
+        duration_ms = meta["duration_ms"]
         decoded = _decode(payload, mime)
         hist, _ = np.histogram(decoded, bins=EMBED_DIM, range=(0, 256))
         vec = (hist / max(len(decoded), 1)).astype(np.float32)
@@ -363,7 +345,7 @@ def gen_x48() -> None:
             n_frames, last_ts = 0, -1
         rows.append(
             (
-                sql_str(f"media://synth/{i}"),
+                sql_str(ref),
                 sql_str(mime),
                 str(len(payload)),
                 sql_str(json.dumps(e6, separators=(",", ":"))),
