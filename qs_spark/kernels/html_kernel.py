@@ -321,6 +321,8 @@ def extract_main(html: str) -> list[str]:
                     if sentinel:
                         break
             return
+        if tag not in _BLOCKS:
+            return  # only block end tags can unwind the stack
         # match only within the innermost table scope: an end tag must not
         # unwind across (and silently emit) a table boundary
         scope = 0
@@ -328,7 +330,7 @@ def extract_main(html: str) -> list[str]:
             if stack[i]["tag"] == "table":
                 scope = i + 1
                 break
-        if tag in _BLOCKS and any(b["tag"] == tag for b in stack[scope:]):
+        if any(b["tag"] == tag for b in stack[scope:]):
             # unwind implied-open inner blocks (<li>a<p>b</li>) down to and
             # including the matching one
             while stack:

@@ -448,12 +448,20 @@ def _float_hint_matrices(df: pd.DataFrame):
 
 def _closed_form_boundary(lens_base, dec, hdr_len, a: int, n: int, chunk_size: int) -> int:
     """largest i in [a, n) with modeled len(to_string(rows a..i)) < chunk_size,
-    else -1.  len = n_lines*(sum(col_widths)+ncols-1)+n_lines-1."""
-    w = np.maximum.accumulate(lens_base[a:], axis=0) + np.maximum.accumulate(
-        dec[a:], axis=0
+    else -1.  len = n_lines*(sum(col_widths)+ncols-1)+n_lines-1.
+
+    The scan window is capped: every column width is >= its header width, so
+    a chunk of r rows models at least (r+2)*(sum(hdr_len)+ncols) - 1 chars —
+    rows beyond chunk_size // that-per-line-floor can never be in this chunk.
+    The cap turns the per-chunk running-max over the whole remaining tail
+    (quadratic across a many-chunk sheet) into a bounded window."""
+    per_line_floor = int(hdr_len.sum()) + lens_base.shape[1]
+    cap = min(n - a, chunk_size // max(per_line_floor, 1) + 1)
+    w = np.maximum.accumulate(lens_base[a : a + cap], axis=0) + np.maximum.accumulate(
+        dec[a : a + cap], axis=0
     )
     sw = np.maximum(w, hdr_len).sum(axis=1)
-    ll = np.arange(2, n - a + 2, dtype="int64")  # lines incl header
+    ll = np.arange(2, cap + 2, dtype="int64")  # lines incl header
     total = ll * (sw + lens_base.shape[1] - 1) + ll - 1
     idx = int(np.searchsorted(total, chunk_size))  # first >= chunk_size
     return a + idx - 1 if idx > 0 else -1
@@ -669,23 +677,35 @@ def chunk_frame_markdown(df: pd.DataFrame, chunk_size: int = CHUNK_SIZE) -> list
 # chunk_frame_reference on an adversarial battery; any mismatch disables the
 # path for the process (correctness then rides the pandas path, as before).
 
-# one data line: non-empty cells, each starting with a letter/underscore --
-# the leading letter makes numeric coercion impossible, the charset makes
-# quote/escape/NA-with-punctuation forms impossible
-_PURE_BLOCK = re.compile(
-    r"[A-Za-z_][A-Za-z0-9_ ]*(?:,[A-Za-z_][A-Za-z0-9_ ]*)*"
-    r"(?:\n[A-Za-z_][A-Za-z0-9_ ]*(?:,[A-Za-z_][A-Za-z0-9_ ]*)*)*\Z"
-)
+# one data line: non-empty cells matching [A-Za-z_][A-Za-z0-9_ ]*, comma-
+# joined -- the leading letter makes numeric coercion impossible, the charset
+# makes quote/escape/NA-with-punctuation forms impossible.  Enforced by the
+# byte-class LUT passes in _pure_sheet_chunks (formerly a whole-block regex).
 # cells pandas' C parser would coerce to bool/NaN/inf despite the letter
-# lead-in, checked as a WHOLE cell.  Case-insensitivity comes from running
-# this on block.lower() — one C-speed pass — because re.IGNORECASE folds
-# per-char and measured ~5x slower on the hot path.
-_PURE_BAD_CELL = re.compile(
-    r"(?:^|,)(?:true|false|nan?|null|none|inf(?:inity)?)(?=,|\n|$)",
-    re.MULTILINE,
+# lead-in, checked as a WHOLE (lowered) cell via set membership on the
+# first-byte-gated suspects — formerly a whole-block lower()+regex pass.
+_PURE_BAD_TOKENS = frozenset(
+    ["true", "false", "na", "nan", "null", "none", "inf", "infinity"]
 )
 
 _PURE_OK: bool | None = None
+
+# byte-class LUT for the data block: letters, digits, '_', ' ', ',', '\n'
+# (exactly _PURE_BLOCK's charset plus the two separators).  A cell's FIRST
+# byte must additionally be a letter/underscore — checked vectorized below.
+_PURE_LUT = np.zeros(256, dtype=bool)
+for _c in b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_ ,\n":
+    _PURE_LUT[_c] = True
+_PURE_FIRST_LUT = np.zeros(256, dtype=bool)
+for _c in b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_":
+    _PURE_FIRST_LUT[_c] = True
+# first bytes of the coercible tokens (true/false/nan/na/null/none/inf...):
+# only a block containing a cell starting with one of these needs the
+# (allocation-heavy) lower()+regex confirmation pass
+_PURE_BAD_FIRST_LUT = np.zeros(256, dtype=bool)
+for _c in b"tfniTFNI":
+    _PURE_BAD_FIRST_LUT[_c] = True
+del _c
 
 
 def _pure_sheet_chunks(
@@ -694,52 +714,89 @@ def _pure_sheet_chunks(
     """Parse + unnamed-retry + chunk one sheet without pandas, or None when
     the input is outside the validated grammar (caller falls back to the
     read_csv path).  A non-None return is authoritative (possibly [] for a
-    skipped/empty sheet)."""
+    skipped/empty sheet).
+
+    The data region is validated and measured in a handful of vectorized
+    numpy passes over the raw bytes (separator positions -> cell lengths +
+    raggedness; byte-class LUTs -> charset; first-byte gate -> the rare
+    coercible-token confirmation), replacing the former whole-block regex +
+    per-row len() sweep.  Byte-equality with the pandas path is pinned by
+    _pure_model_ok's per-process battery and the hypothesis property test."""
     if not _pure_model_ok():
         return None
     if '"' in text or "\r" in text:
         return None
-    lines = text.split("\n")
-    if "" in lines:  # blank lines / trailing newline: pandas semantics differ
+    # any empty line (leading/trailing/blank) <=> pandas semantics differ;
+    # equivalent to the former '"" in text.split("\n")' without the split
+    if not text or text[0] == "\n" or text[-1] == "\n" or "\n\n" in text:
         return None
 
     # header + the reference's all-"Unnamed" skiprows retry loop
     # (_read_with_unnamed_retry): re-read with one more leading line skipped
-    # until some label doesn't start with "Unnamed"
-    skip = 0
-    fields = lines[0].split(",")
+    # until some label doesn't start with "Unnamed".  Lines are peeled
+    # lazily (one find per retry) -- most sheets take zero retries.
+    n = len(text)
+    nl = text.find("\n")
+    fields = (text[:nl] if nl != -1 else text).split(",")
     labels = [f if f else f"Unnamed: {i}" for i, f in enumerate(fields)]
     while all(l.startswith("Unnamed") for l in labels):
-        skip += 1
-        if skip >= len(lines):
+        if nl == -1:
             # re-read would raise EmptyDataError (excel: skip sheet; csv:
             # propagate with pandas' exact message) -> pandas path decides
             return None
-        fields = lines[skip].split(",")
+        off = nl + 1
+        nl = text.find("\n", off)
+        fields = (text[off:nl] if nl != -1 else text[off:]).split(",")
         labels = [f if f else f"Unnamed: {i}" for i, f in enumerate(fields)]
-        if excel_mode and skip + 1 >= len(lines):
+        if excel_mode and nl == -1:
             return []  # ref: `if df.empty: return None` right after a re-read
     if len(set(labels)) != len(labels):
         return None  # mangle-dedupe (.1 suffixes) -> pandas path
 
-    data_lines = lines[skip + 1 :]
-    if not data_lines:
+    if nl == -1:
         # 0-row frame: excel skips it (post-loop df.empty check); csv chunks
         # it to nothing (chunk_frame of an empty frame)
         return []
-    block = "\n".join(data_lines)
-    if not _PURE_BLOCK.match(block) or _PURE_BAD_CELL.search(block.lower()):
-        return None
+    block = text[nl + 1 :]
+    try:
+        buf = np.frombuffer(block.encode("ascii"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        return None  # non-ASCII is outside the grammar
 
     ncols = len(fields)
-    rows: list[tuple] = []
-    for ln in data_lines:
-        r = tuple(ln.split(","))
-        if len(r) != ncols:
-            return None  # ragged -> pandas' index-promotion semantics
-        rows.append(r)
+    sep = (buf == 44) | (buf == 10)  # ',' '\n'
+    pos = np.flatnonzero(sep)
+    nrows = int((buf == 10).sum()) + 1
+    if len(pos) != nrows * ncols - 1:
+        return None  # ragged -> pandas' index-promotion semantics
+    if ncols > 1:
+        # newlines must land exactly every ncols-th separator
+        expect_nl = np.zeros(len(pos), dtype=bool)
+        expect_nl[ncols - 1 :: ncols] = True
+        if not np.array_equal(buf[pos] == 10, expect_nl):
+            return None  # ragged rows with compensating widths
+    bounds = np.empty(len(pos) + 2, dtype=np.int64)
+    bounds[0] = -1
+    bounds[1:-1] = pos
+    bounds[-1] = len(buf)
+    lens_flat = bounds[1:] - bounds[:-1] - 1
+    if not lens_flat.all():
+        return None  # empty cell
+    first = buf[bounds[:-1] + 1]
+    if not _PURE_FIRST_LUT[first].all() or not _PURE_LUT[buf].all():
+        return None  # cell not letter/underscore-led, or charset violation
+    # bool/NA/inf spellings pandas would coerce: only cells whose first byte
+    # is in tfni/TFNI can be one, so slice just those and set-test them
+    suspect = np.flatnonzero(_PURE_BAD_FIRST_LUT[first])
+    if suspect.size:
+        starts = bounds[:-1] + 1
+        ends = bounds[1:]
+        for i in suspect:
+            if block[starts[i] : ends[i]].lower() in _PURE_BAD_TOKENS:
+                return None
 
-    lens = np.array([list(map(len, r)) for r in rows], dtype="int64")
+    rows = [tuple(ln.split(",")) for ln in block.split("\n")]
+    lens = lens_flat.reshape(nrows, ncols)
     hdr_len = np.array([len(h) for h in labels], dtype="int64")
     empty_repr = "Empty DataFrame\nColumns: [%s]\nIndex: []" % ", ".join(labels)
     return _chunk_from_cells(rows, labels, hdr_len, lens, lambda: empty_repr, chunk_size)
