@@ -254,24 +254,25 @@ def lsh_candidate_pairs(
          O(m) output that preserves cluster connectivity for the standard
          union-find/connected-components consumer downstream.
 
-    The bucket table is CACHED before the self-join: plan audit showed the
-    self-join does NOT reuse the aggregate exchange, so without the barrier
-    the whole shingle->md5->16-min-agg pipeline (the expensive part, reading
-    every document's full text) executes twice.  The cached set is slim —
-    LSH_BANDS rows of (doc_id, band, bucket-hash) per doc — and spills to
-    disk under pressure; callers release it via cachereg.release_caches()."""
-    b = scoped_cache(
-        lsh_buckets(minhash_signatures(docs)).join(
-            exact_dedup_rep_ids(docs, fps=fps), "doc_id", "left_semi"
-        )
+    The annotated bucket table is CACHED before the self-join: plan audit
+    showed the self-join does NOT reuse exchanges across its sides, so
+    without the barrier the whole shingle->md5->16-min-agg pipeline (the
+    expensive part, reading every document's full text) executes once per
+    consumer.  The per-bucket size/representative are attached by a WINDOW
+    over (band, bucket) rather than an aggregate + join (r05): one exchange
+    instead of two, one cache instead of two (the window subsumes the sizes
+    table), and the cached plan RETAINS hashpartitioning(band, bucket), so
+    the self-join below consumes both sides exchange-free.  The cached set
+    is slim — LSH_BANDS rows of (doc_id, band, bucket-hash, 2 ints) per rep
+    — and spills to disk under pressure; callers release it via
+    cachereg.release_caches()."""
+    w = Window.partitionBy("band", "bucket")
+    b2 = scoped_cache(
+        lsh_buckets(minhash_signatures(docs))
+        .join(exact_dedup_rep_ids(docs, fps=fps), "doc_id", "left_semi")
+        .withColumn("_m", F.count("*").over(w))
+        .withColumn("_rep", F.min("doc_id").over(w))
     )
-    sizes = b.groupBy("band", "bucket").agg(
-        F.count("*").alias("_m"), F.min("doc_id").alias("_rep")
-    )
-    # b2 is cached TOO: three consumers below (two self-join sides + the
-    # star branch) would otherwise each re-run the b><sizes join — measured
-    # ~4 s of redundant slim-join work at sf0.1
-    b2 = scoped_cache(b.join(sizes, ["band", "bucket"]))
     small = b2.filter(F.col("_m") <= max_bucket_size).select("band", "bucket", "doc_id")
     all_pairs = (
         small.alias("l")
@@ -359,55 +360,120 @@ def simhash_near_dup_pairs(
     )
 
 
+def _pair_shingle_stats(n: int):
+    """mapInPandas kernel: (doc_a, doc_b, _ta, _tb) -> (doc_a, doc_b, inter,
+    sza, szb) with inner-join semantics (a pair with an empty intersection —
+    including a null text on either side — emits nothing).  Shingling
+    mirrors shingles_col exactly on the pre-normalized text: split on a
+    single space (norm_text collapsed runs already; a leading/trailing space
+    yields an empty token, same as F.split), whole-text shingle when fewer
+    than n tokens, DISTINCT per doc."""
+
+    def shingle_set(text):
+        if text is None:
+            return None
+        toks = text.split(" ")
+        if len(toks) - (n - 1) <= 0:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for da, db, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["_ta"], pdf["_tb"]
+            ):
+                sa, sb = shingle_set(ta), shingle_set(tb)
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                if inter:
+                    rows.append((da, db, inter, len(sa), len(sb)))
+            yield pd.DataFrame(
+                rows, columns=["doc_a", "doc_b", "inter", "sza", "szb"]
+            )
+
+    return kernel
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     max_bucket_size: int = LSH_MAX_BUCKET,
     fps: DataFrame | None = None,
+    strategy: str = "pair_kernel",
 ) -> DataFrame:
     """n-gram Jaccard similarity over LSH candidate pairs — the scale path.
 
     Candidate pairs come from MinHash-LSH banding (lsh_candidate_pairs:
     exact-dup representatives, hot buckets capped), so pair generation is
-    bucket-local; exact Jaccard is then computed only for candidates via two
-    shingle joins.  Recall is the LSH band guarantee (pairs under the band
+    bucket-local.  Recall is the LSH band guarantee (pairs under the band
     similarity threshold may be missed — by design); precision is exact.
 
-    Scale shape (r04): the shingle table is SEMI-JOINED to the docs that
-    actually appear in a candidate pair before exploding — candidates are a
-    tiny fraction of any real corpus, so the explode + distinct + two joins
-    run over |candidate docs| x shingles instead of |corpus| x shingles
-    (measured 2.3x on the sf0.1 bench).  cand and sh are scoped-cached: each
-    is consumed by 2-3 downstream joins and cand's lineage contains the
-    whole MinHash+banding job."""
+    Two exact-verify strategies, identical output (parity-tested):
+
+    'pair_kernel' (default, r05): ship both normalized texts to each pair
+    (one semi-join projects candidate-doc texts, two joins attach them) and
+    compute |A∩B|, |A|, |B| per pair in one Arrow-batched kernel.  Plan is
+    3 slim stages after the candidate join vs ~8 for the shingle-join form —
+    the scheduling-latency floor the r04 verdict flagged.  Text shipped is
+    |pairs| x 2 texts; per-doc amplification is bounded by the bucket cap x
+    bands (a doc joins at most that many pairs), and exact-dup mass
+    collapsed to representatives upstream, so the degenerate web-corpus case
+    stays linear.  Jaccard division + rounding stay JVM-side so oracle
+    rounding semantics are unchanged.
+
+    'shingle_join' (r04 shape): explode candidate docs to distinct shingles
+    and count intersections via two shuffle joins — no text duplication, the
+    better shape if pair multiplicity per doc is ever unbounded (e.g. an
+    uncapped custom banding).  cand/sh are scoped-cached (multi-consumer)."""
     cand = scoped_cache(lsh_candidate_pairs(docs, max_bucket_size, fps=fps))
     cdocs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = scoped_cache(
-        docs.join(cdocs, "doc_id", "left_semi")
-        .select("doc_id", F.explode(shingles_col(n)).alias("sh"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        cand.join(sh.alias("a"), cand.doc_a == F.col("a.doc_id"))
-        .join(sh.alias("b"), (cand.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
-            ).alias("jaccard"),
+    if strategy == "pair_kernel":
+        t = scoped_cache(
+            docs.join(cdocs, "doc_id", "left_semi")
+            .select("doc_id", norm_text().alias("_nt"))
         )
+        withA = cand.join(t, cand.doc_a == t.doc_id).select(
+            "doc_a", "doc_b", F.col("_nt").alias("_ta")
+        )
+        withAB = withA.join(t, withA.doc_b == t.doc_id).select(
+            "doc_a", "doc_b", "_ta", F.col("_nt").alias("_tb")
+        )
+        id_t = docs.schema["doc_id"].dataType.simpleString()
+        stats = withAB.mapInPandas(
+            _pair_shingle_stats(n),
+            f"doc_a {id_t}, doc_b {id_t}, inter long, sza long, szb long",
+        )
+    else:
+        sh = scoped_cache(
+            docs.join(cdocs, "doc_id", "left_semi")
+            .select("doc_id", F.explode(shingles_col(n)).alias("sh"))
+            .distinct()
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        inter = (
+            cand.join(sh.alias("a"), cand.doc_a == F.col("a.doc_id"))
+            .join(sh.alias("b"), (cand.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        stats = (
+            inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        )
+    return stats.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+        ).alias("jaccard"),
     )
 
 
@@ -466,13 +532,17 @@ def connected_components(
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=False)
-    ne = edges.count()  # one job: materializes the checkpoint + sizes the loop
     spark = pairs.sparkSession
     ntype = pairs.schema[a].dataType.simpleString()
+    # ONE probe job sizes the loop AND, in the (overwhelmingly common) small
+    # case, already IS the local tier's collect: if the limit didn't
+    # truncate, pdf holds every edge and no count job runs at all.  Only a
+    # graph that overflows the local tier pays a count.
+    pdf = edges.limit(local_below + 1).toPandas()
+    ne = len(pdf)
     if ne == 0:
         return spark.createDataFrame([], f"node {ntype}, cluster {ntype}")
     if ne <= local_below:
-        pdf = edges.toPandas()
         parent: dict = {}
 
         def find(x):
@@ -493,6 +563,7 @@ def connected_components(
         return spark.createDataFrame(
             [(x, find(x)) for x in sorted(nodes)], f"node {ntype}, cluster {ntype}"
         )
+    ne = edges.count()  # probe truncated: the real size must size the loop
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     nparts = max(1, min(default_parts, ne // 200_000))
     small_graph = ne <= broadcast_below
