@@ -122,23 +122,37 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
         # permutation minima vectorize per doc in numpy ((h1 + i*h2) mod P
         # stays < 2^41, no overflow in int64).
         perm = np.arange(k, dtype=np.int64)[:, None]
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
         for pdf in batches:
             ids, sigs = [], []
+            # md5 memo, per Arrow batch: the permutation minimum is invariant
+            # under shingle multiplicity, so each DISTINCT shingle hashes
+            # once per doc — and near/exact-dup docs in the same batch (the
+            # norm in a web corpus) share almost all shingles, so the memo
+            # turns their signature cost into dict lookups.  Bounded by the
+            # batch's distinct-shingle count; exact same output (pinned by
+            # test_minhash_kernel_matches_jvm_exprs).
+            memo: dict = {}
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
                 toks = text.split(" ")  # pre-normalized upstream
                 if len(toks) < n:
-                    shs = [" ".join(toks)]
+                    shs = {" ".join(toks)}
                 else:
-                    shs = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                    shs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
                 m = len(shs)
                 h1 = np.empty(m, dtype=np.int64)
                 h2 = np.empty(m, dtype=np.int64)
                 for j, sh in enumerate(shs):
-                    dg = hashlib.md5(sh.encode("utf-8")).digest()
-                    h1[j] = int.from_bytes(dg[:8], "big") >> 4
-                    h2[j] = int.from_bytes(dg[8:16], "big") >> 4
+                    hh = memo.get(sh)
+                    if hh is None:
+                        dg = md5(sh.encode("utf-8")).digest()
+                        hh = (from_bytes(dg[:8], "big") >> 4,
+                              from_bytes(dg[8:16], "big") >> 4)
+                        memo[sh] = hh
+                    h1[j], h2[j] = hh
                 ids.append(did)
                 sigs.append(((h1 % P + perm * (h2 % P)) % P).min(axis=1))
             out = {"doc_id": ids}
