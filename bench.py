@@ -240,22 +240,34 @@ def main_bench() -> None:
     queries: dict[str, float] = {}
     extras: dict[str, object] = {}
     trials: dict[str, list[float]] = {}
+    trial_steal: dict[str, list[float]] = {}
+    queries_calm: dict[str, float | None] = {}
     steal0, total0 = _cpu_stat()
     for name in HEADLINE:
         secs: list[float] = []
+        steals: list[float] = []
         last: dict = {}
         for _ in range(TRIALS):
+            ts0, tt0 = _cpu_stat()
             r = subprocess.run(
                 [sys.executable, __file__, "--query-once", name, SF_DIR, str(CPUS)],
                 capture_output=True, text=True, timeout=3600,
             )
+            ts1, tt1 = _cpu_stat()
             lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
             if not lines:
                 raise SystemExit(f"bench query {name} failed: {r.stderr[-2000:]}")
             last = json.loads(lines[-1])
             secs.append(last["sec"])
+            steals.append(round(100.0 * (ts1 - ts0) / max(tt1 - tt0, 1), 2))
         med = round(statistics.median(secs), 3)
         trials[name] = secs
+        trial_steal[name] = steals
+        # supplementary steal-filtered median: the authoritative figure stays
+        # the plain median; this reconciles a steal-polluted artifact without
+        # replacing it (needs >= 2 calm trials, else null)
+        calm = [s for s, st in zip(secs, steals) if st < 1.0]
+        queries_calm[name] = round(statistics.median(calm), 3) if len(calm) >= 2 else None
         if name in ("search_idx", "dedup_cluster"):
             # reported separately: keeps `value` (sum of the original four)
             # comparable round-over-round while still measuring the pruned
@@ -280,6 +292,8 @@ def main_bench() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "trials": TRIALS,
         "trials_sec": trials,
+        "trials_steal_pct": trial_steal,
+        "queries_calm": queries_calm,
         "hypervisor_steal_pct": round(100.0 * (steal1 - steal0) / dt, 2),
         # multicore hardware control: per-proc md5 throughput at CPUS procs.
         # Steal alone misses neighbor/bandwidth contention — a session was
