@@ -449,9 +449,22 @@ def test_pure_sheet_declines_out_of_grammar():
         "a,b\nx,y,z",
         "a,b\nx,y\tz",
         ",,\n,,",  # csv mode must decline (EmptyDataError parity)
+        # r05 vectorized-parse edges: the separator-position check must see
+        # through compensating widths (2 cells + 3 cells around one header
+        # width), non-ASCII cells (byte LUT is ASCII-only), space-led cells
+        # (first-byte class), and a lone trailing-newline header
+        "a,b\nxy\nz,w,q",
+        "a,b\nx,é",
+        "a,b\n x,y",
+        "a,b\nx ,y",  # trailing space inside cell is IN grammar; leading is not -> see below
     ]
-    for text in cases:
+    for text in cases[:-1]:
         assert sk._pure_sheet_chunks(text, False) is None, text
+    # 'x ' IS in grammar (trailing space allowed by [A-Za-z0-9_ ]*): must
+    # AGREE with pandas, not decline
+    got = sk._pure_sheet_chunks("a,b\nx ,y", False)
+    df = sk._read_with_unnamed_retry("a,b\nx ,y", False)
+    assert got == sk.chunk_frame_reference(df)
 
 
 def test_pure_sheet_unnamed_retry_and_quirks():
