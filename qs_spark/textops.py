@@ -93,6 +93,32 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
     kernel is row-local — no shuffle, embarrassingly parallel at 100 TB.
     Null-text docs drop, matching the r02 explode form's semantics.
     """
+    return _sketches_impl(docs, k, n, with_fp=False)
+
+
+def doc_sketches(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
+    """ONE full-text scan emitting BOTH dedup sketches: the exact-dup
+    fingerprint (md5 of the normalized text) and the k MinHash permutation
+    minima — (doc_id, fp, mh0..mh{k-1}).
+
+    Why fused (r05): near_dup_clusters previously paid two full-corpus text
+    evaluations — the JVM fingerprint projection and the signature kernel —
+    before the candidate-text projection.  The kernel already holds the
+    normalized text bytes per row, so the fingerprint is one extra md5 per
+    DOCUMENT (vs one per shingle for the signature) in the same pass, and the
+    cached output stays slim (doc_id, 32-char fp, k ints): corpus text is
+    never cached, the 100 TB shape.
+
+    Parity: the input projection is norm_text() JVM-side, so the kernel
+    hashes exactly the bytes F.md5(norm_text()) hashes — fp is bit-identical
+    to doc_fingerprints (asserted by test_doc_sketches_matches_jvm_parts).
+    Unlike minhash_signatures, null-text rows are KEPT (fp/mh* null), so
+    fp consumers see doc_fingerprints' exact row set; signature consumers
+    must drop the null-signature rows (lsh_candidate_pairs does)."""
+    return _sketches_impl(docs, k, n, with_fp=True)
+
+
+def _sketches_impl(docs: DataFrame, k: int, n: int, with_fp: bool) -> DataFrame:
     import hashlib
 
     from pyspark.sql import types as T
@@ -100,6 +126,7 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
     id_field = docs.schema["doc_id"]
     schema = T.StructType(
         [T.StructField("doc_id", id_field.dataType)]
+        + ([T.StructField("fp", T.StringType())] if with_fp else [])
         + [T.StructField(f"mh{i}", T.LongType()) for i in range(k)]
     )
     P = MINHASH_P
@@ -125,7 +152,8 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
         md5 = hashlib.md5
         from_bytes = int.from_bytes
         for pdf in batches:
-            ids, sigs = [], []
+            ids, sigs, fps = [], [], []
+            null_ids = []  # with_fp only: rows kept with null fp/signature
             # md5 memo, per Arrow batch: the permutation minimum is invariant
             # under shingle multiplicity, so each DISTINCT shingle hashes
             # once per doc — and near/exact-dup docs in the same batch (the
@@ -136,7 +164,14 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
             memo: dict = {}
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
+                    if with_fp:
+                        null_ids.append(did)
                     continue
+                if with_fp:
+                    # md5 of the SAME utf-8 bytes F.md5(norm_text()) hashes
+                    # (text is the norm_text() projection) -> bit-identical
+                    # to doc_fingerprints, one digest per document.
+                    fps.append(md5(text.encode("utf-8")).hexdigest())
                 toks = text.split(" ")  # pre-normalized upstream
                 if len(toks) < n:
                     shs = {" ".join(toks)}
@@ -155,12 +190,20 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
                     h1[j], h2[j] = hh
                 ids.append(did)
                 sigs.append(((h1 % P + perm * (h2 % P)) % P).min(axis=1))
-            out = {"doc_id": ids}
+            out = {"doc_id": ids + null_ids}
+            if with_fp:
+                out["fp"] = fps + [None] * len(null_ids)
             sig_mat = (
                 np.stack(sigs) if sigs else np.empty((0, k), dtype=np.int64)
             )
             for i in range(k):
-                out[f"mh{i}"] = pd.Series(sig_mat[:, i], dtype="int64")
+                if null_ids:
+                    out[f"mh{i}"] = pd.array(
+                        sig_mat[:, i].tolist() + [None] * len(null_ids),
+                        dtype="Int64",
+                    )
+                else:
+                    out[f"mh{i}"] = pd.Series(sig_mat[:, i], dtype="int64")
             yield pd.DataFrame(out)
 
     inp = docs.select("doc_id", norm_text().alias("text"))
@@ -246,6 +289,7 @@ def lsh_candidate_pairs(
     docs: DataFrame,
     max_bucket_size: int = LSH_MAX_BUCKET,
     fps: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates: pairs of exact-dup-cluster REPRESENTATIVES
     sharing any band bucket.
@@ -279,10 +323,20 @@ def lsh_candidate_pairs(
     the self-join below consumes both sides exchange-free.  The cached set
     is slim — LSH_BANDS rows of (doc_id, band, bucket-hash, 2 ints) per rep
     — and spills to disk under pressure; callers release it via
-    cachereg.release_caches()."""
+    cachereg.release_caches().
+
+    Pass precomputed `fps` (fp, doc_id) and/or `sigs` (doc_id, mh0..mh15) to
+    share scans across pipeline stages; when BOTH are absent they are fused
+    into one doc_sketches text scan here (r05: the standalone call previously
+    paid two full-text evaluations — fingerprints for the rep filter plus
+    the signature kernel)."""
+    if fps is None and sigs is None:
+        sk = scoped_cache(doc_sketches(docs))
+        fps = sk.select("fp", "doc_id")
+        sigs = sk.filter(F.col("mh0").isNotNull()).drop("fp")
     w = Window.partitionBy("band", "bucket")
     b2 = scoped_cache(
-        lsh_buckets(minhash_signatures(docs))
+        lsh_buckets(sigs if sigs is not None else minhash_signatures(docs))
         .join(exact_dedup_rep_ids(docs, fps=fps), "doc_id", "left_semi")
         .withColumn("_m", F.count("*").over(w))
         .withColumn("_rep", F.min("doc_id").over(w))
@@ -418,6 +472,7 @@ def ngram_jaccard_pairs(
     max_bucket_size: int = LSH_MAX_BUCKET,
     fps: DataFrame | None = None,
     strategy: str = "pair_kernel",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity over LSH candidate pairs — the scale path.
 
@@ -443,7 +498,7 @@ def ngram_jaccard_pairs(
     and count intersections via two shuffle joins — no text duplication, the
     better shape if pair multiplicity per doc is ever unbounded (e.g. an
     uncapped custom banding).  cand/sh are scoped-cached (multi-consumer)."""
-    cand = scoped_cache(lsh_candidate_pairs(docs, max_bucket_size, fps=fps))
+    cand = scoped_cache(lsh_candidate_pairs(docs, max_bucket_size, fps=fps, sigs=sigs))
     cdocs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -645,22 +700,31 @@ def near_dup_clusters(
     connected components -> (doc_id, cluster, is_representative).  Keep rows
     with is_representative to drop duplicates.  Every stage is the
     bucket-local / capped scale path documented on its function."""
-    # ONE fingerprint scan feeds both the exact edges and the LSH
-    # representative filter (each evaluation reads every document's text —
-    # two scans at 100 TB is a real cost, r05)
-    fps = scoped_cache(doc_fingerprints(docs))
+    # ONE text scan (doc_sketches: fingerprint + minhash in the same kernel
+    # pass, r05) feeds the exact edges, the LSH representative filter, AND
+    # the banded signatures — the previous shape paid two full-corpus text
+    # evaluations before the candidate-text projection, a real cost at
+    # 100 TB.  The cached sketch table is slim (doc_id, fp, 16 ints).
+    # NOTE: sketches keep the minhash default shingle width (the LSH banding
+    # contract) — `n` parameterizes only the exact-Jaccard verify, exactly as
+    # before the fuse (lsh_candidate_pairs always banded 3-gram signatures).
+    sk = scoped_cache(doc_sketches(docs))
+    fps = sk.select("fp", "doc_id")
+    sigs = sk.filter(F.col("mh0").isNotNull()).drop("fp")
     exact_edges = (
         fps.withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    near_edges = ngram_jaccard_pairs(docs, n, max_bucket_size, fps=fps).filter(
+    near_edges = ngram_jaccard_pairs(
+        docs, n, max_bucket_size, fps=fps, sigs=sigs
+    ).filter(
         F.col("jaccard") >= jaccard_threshold
     ).select("doc_a", "doc_b")
     comp = connected_components(exact_edges.unionByName(near_edges))
+    ids = sk.select("doc_id")  # from the cached sketches — no second scan
     return (
-        docs.select("doc_id")
-        .join(comp, docs.doc_id == comp.node, "left")
+        ids.join(comp, ids.doc_id == comp.node, "left")
         .select(
             "doc_id",
             F.coalesce("cluster", F.col("doc_id")).alias("cluster"),

@@ -373,6 +373,43 @@ def test_minhash_kernel_matches_jvm_exprs_non_ascii(spark):
     assert a.equals(b.astype(a.dtypes.to_dict()))
 
 
+def test_doc_sketches_matches_jvm_parts(spark):
+    """doc_sketches (r05 fused scan) must equal doc_fingerprints (JVM
+    F.md5(norm_text())) on fp — including null-text rows, which it KEEPS —
+    and minhash_signatures_expr on the signature columns, including planted
+    non-ASCII (the fp hashes the same UTF-8 bytes the JVM md5 hashes)."""
+    rows = [
+        (1, "İstanbul ŞEHİR Pİ yazı İİİ metin İçerik uzun"),
+        (2, "données françaises straße GROßE text mit mehr"),
+        (3, "a\xa0b\xa0c d　e f g h i j"),  # NBSP + ideographic space
+        (4, "plain ascii control row with enough words to shingle"),
+        (5, "plain ascii control row with enough words to shingle"),  # dup
+        (6, None),  # null text: kept, fp/mh* null
+        (7, ""),  # empty text: non-null, hashes like the JVM form
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    sk = X.doc_sketches(d).toPandas().sort_values("doc_id").reset_index(drop=True)
+    fp = (
+        X.doc_fingerprints(d)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(sk["doc_id"]) == list(fp["doc_id"])  # null rows kept
+    assert list(sk["fp"]) == list(fp["fp"])
+    mh = (
+        X.minhash_signatures_expr(d)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = sk[sk["mh0"].notna()].reset_index(drop=True)
+    mh_cols = [c for c in mh.columns if c.startswith("mh")]
+    assert list(got["doc_id"]) == list(mh["doc_id"])
+    for c in mh_cols:
+        assert [int(x) for x in got[c]] == [int(x) for x in mh[c]], c
+
+
 def test_salted_join_salt_is_content_derived(spark):
     """r04 VERDICT #7: the big-side salt must be a function of row CONTENT,
     not partition layout — identical (row -> salt) mapping and identical
