@@ -596,18 +596,22 @@ def connected_components(
         <0.5 s.  Above the threshold (real 100 TB dup graphs) the r04
         shuffle loop runs unchanged;
       - below `broadcast_below` edges (but above local), the per-round
-        joins broadcast the label/message sides instead of shuffling both."""
-    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=False)
+        joins broadcast the label/message sides instead of shuffling both;
+      - the probe reads the RAW pair list, NOT the symmetrized+distinct
+        edge table (r05): symmetrizing unions the pair plan with its own
+        mirror, so Catalyst plans the whole upstream (sketch kernel,
+        bucket self-join, jaccard verify) TWICE and pays a distinct
+        shuffle — measured 12.6 s of the sandbox dedup_cluster wall, vs
+        0.2 s for the raw probe (union-find needs neither symmetry nor
+        distinctness).  Only a graph that overflows the local tier builds
+        the symmetric edge table, where the loop's min-propagate needs it."""
+    raw = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     spark = pairs.sparkSession
     ntype = pairs.schema[a].dataType.simpleString()
-    # ONE probe job sizes the loop AND, in the (overwhelmingly common) small
+    # ONE probe job sizes the graph AND, in the (overwhelmingly common) small
     # case, already IS the local tier's collect: if the limit didn't
-    # truncate, pdf holds every edge and no count job runs at all.  Only a
-    # graph that overflows the local tier pays a count.
-    pdf = edges.limit(local_below + 1).toPandas()
+    # truncate, pdf holds every pair and no count job runs at all.
+    pdf = raw.limit(local_below + 1).toPandas()
     ne = len(pdf)
     if ne == 0:
         return spark.createDataFrame([], f"node {ntype}, cluster {ntype}")
@@ -628,11 +632,16 @@ def connected_components(
                 if rd < rs:
                     rs, rd = rd, rs
                 parent[rd] = rs  # union by MIN: every root is its comp min
-        nodes = set(pdf["src"].tolist())  # symmetric edges: src covers all
+        nodes = set(pdf["src"].tolist()) | set(pdf["dst"].tolist())
         return spark.createDataFrame(
             [(x, find(x)) for x in sorted(nodes)], f"node {ntype}, cluster {ntype}"
         )
-    ne = edges.count()  # probe truncated: the real size must size the loop
+    # overflow: build the symmetric distinct edge table the distributed
+    # min-propagate loop requires, and size the loop from its real count
+    edges = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    ne = edges.count()
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     nparts = max(1, min(default_parts, ne // 200_000))
     small_graph = ne <= broadcast_below
