@@ -422,8 +422,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order, md5'd): covers every span field of every doc in 500 rows,
         # compared against the serial pandas reference via the golden oracle.
         # entry() still returns the raw span table for the smoke check.
+        # Runs the NATIVE-scan path (the one bench measures) so the golden
+        # oracles it at the driver level; row-identity with the JVM path is
+        # separately pinned by test_extract_native.
+        from qs_spark.extract import extract_spans_native
+
         n = _docs(spark, sf).count()
-        spans = extract_spans(corpus_parquet(spark, n))
+        table = corpus_parquet(spark, n).inputFiles()[0].split("/size_class=")[0]
+        spans = extract_spans_native(
+            spark, table[7:] if table.startswith("file://") else table
+        )
         item = F.struct(
             F.col("order"),
             F.col("kind"),

@@ -39,6 +39,12 @@ def _n_docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
 
+def _table_path_of(df) -> str:
+    """Root dir of a size_class-partitioned reader DF (for the native scan)."""
+    f = df.inputFiles()[0].split("/size_class=")[0]
+    return f[7:] if f.startswith("file://") else f
+
+
 DOCS_MULT = int(os.environ.get("QS_BENCH_DOCS_MULT", "20"))
 
 
@@ -52,19 +58,22 @@ def run_extract_once(cores: int, sf_dir: str) -> dict:
     job overhead at both parallelism levels.
     """
     from qs_spark.corpus import corpus_df, corpus_parquet
-    from qs_spark.extract import extract_spans
+    from qs_spark.extract import extract_spans, extract_spans_native
     from qs_spark.session import get_spark, tune_scan_split
 
     spark = get_spark(f"bench_extract_{cores}", cores=cores)
     n_docs = _n_docs(spark, sf_dir) * DOCS_MULT
     input_df = corpus_parquet(spark, n_docs)
-    tune_scan_split(spark, input_df)  # size-derived split, not the 4MB default
+    table_path = _table_path_of(input_df)
+    tune_scan_split(spark, input_df)  # sizes the mega-branch JVM scan
     # warmup: JVM + python worker pool (small slice, excluded from timing)
     extract_spans(corpus_df(spark, 512)).count()
     t0 = time.time()
-    # input is bucket-partitioned by doc_id hash at write time (Iceberg
-    # bucket(doc_id) layout) -> no per-job shuffle of raw payloads
-    spans = extract_spans(input_df, repartition_input=False)
+    # native-scan path: pyarrow decodes the bucket files INSIDE the Python
+    # workers (no JVM row->Arrow re-serialization of the raw payload); the
+    # bucketed write already removed the per-job shuffle.  Row-identical to
+    # the JVM path by test_extract_native; x33's golden oracles it.
+    spans = extract_spans_native(spark, table_path)
     n_spans = spans.count()
     dt = time.time() - t0
     res = {
@@ -88,7 +97,7 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
     from qs_spark import search as S
     from qs_spark import textops as X
     from qs_spark.corpus import corpus_df, corpus_parquet
-    from qs_spark.extract import extract_spans
+    from qs_spark.extract import extract_spans, extract_spans_native
     from qs_spark.session import get_spark
     from qs_spark.store import build_store
 
@@ -113,7 +122,12 @@ def run_query_once(name: str, sf_dir: str, cores: int) -> dict:
             for f in input_df.inputFiles()
         )
         t0 = time.time()
-        store = build_store(extract_spans(input_df, repartition_input=False))
+        # QS_EXTRACT_SCAN=jvm pins the pre-r05 JVM scan for A/B control runs
+        if os.environ.get("QS_EXTRACT_SCAN") == "jvm":
+            spans = extract_spans(input_df, repartition_input=False)
+        else:
+            spans = extract_spans_native(spark, _table_path_of(input_df))
+        store = build_store(spans)
         write_store(store, "/tmp/qs_bench_store", est_bytes=est)
         out["sec"] = round(time.time() - t0, 3)
         out["n_docs"] = n_docs
