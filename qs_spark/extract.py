@@ -574,8 +574,20 @@ def extract_spans_native(
     else:
         small_out = spark.createDataFrame([], SPAN_SCHEMA)
 
+    # Size the mega branch's exchange by its DATA bytes (the partition dir
+    # is the Iceberg-stats analog), not by 4x shuffle.partitions: megas are
+    # ~0.2% of docs, and a cores-proportional partition count turned the
+    # branch into hundreds of near-empty Python tasks whose ~0.3 s each
+    # overhead GREW with cores (measured: 5 s at 8 cores -> 10 s at 32 on
+    # ~5 MB of megas, inverting the scaling curve).  Slices carry payload
+    # text, so bytes track kernel work here — 4 MB per task, floored at 1.
+    mega_dir = os.path.join(table_path, f"{SIZE_CLASS_COL}=mega")
+    mega_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(mega_dir, "*.parquet"))
+    )
+    mega_nparts = int(max(1, min(num_partitions, mega_bytes // (4 * 1024 * 1024) + 1)))
     mega = with_fmt(df.filter(F.col(SIZE_CLASS_COL) == "mega"))
-    mega_out = _extract_mega(mega, chunk_size, split_threshold, num_partitions)
+    mega_out = _extract_mega(mega, chunk_size, split_threshold, mega_nparts)
     return small_out.unionByName(mega_out)
 
 
