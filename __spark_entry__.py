@@ -608,9 +608,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.lit("u"), (d.doc_id % 3).cast("string")).alias("uid"),
             F.create_map(F.lit("lang"), F.col("lang")).alias("realm"),
         )
-        return S.search_rank(
+        res = S.search_rank(
             st, " ".join(TERMS), state="Publish", uid="u1", realm={"lang": "en"}
         )
+        # S14 (Redis response cache -> qcache result-cache table): the entry
+        # returns the rows READ BACK through a store->lookup round trip, so
+        # the SQL oracle hash-validates the cached bytes, not just the
+        # computation (file_searcher.py:215-230/:364-373 semantics; guards =
+        # uid + query + total-docs + realm/state/exact_match, TTL untouched)
+        import tempfile
+
+        from qs_spark import qcache as QC
+        from qs_spark.catalog import ParquetCatalog
+
+        guards = dict(
+            uid="u1",
+            query=" ".join(TERMS),
+            total_docs=d.count(),
+            state="Publish",
+            exact_match=False,
+            realm={"lang": "en"},
+            now_ts=0.0,
+        )
+        cat = ParquetCatalog(tempfile.mkdtemp(prefix="qs_qcache_q_"))
+        QC.cache_store(cat, res, **guards)
+        hit = QC.cache_lookup(spark, cat, **guards)
+        assert hit is not None, "qcache round trip must hit under equal guards"
+        return hit
 
     q["q44_realm_search"] = q44
 

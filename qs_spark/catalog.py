@@ -42,8 +42,12 @@ class ParquetCatalog:
     def exists(self, table: str) -> bool:
         self._recover(table)
         p = self.path(table)
+        # data files directly in the root, or any Hive-layout partition dir
+        # (key=value) — covers every partition column, not a hardcoded list
         return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f.startswith(("part-", "fmt=", "bucket="))
+            f.endswith(".parquet")
+            or f.startswith("part-")
+            or ("=" in f and os.path.isdir(os.path.join(p, f)))
             for f in os.listdir(p)
         )
 
@@ -119,12 +123,18 @@ class ParquetCatalog:
         merged = cur.join(df.select(*keys).distinct(), keys, "left_anti").unionByName(df)
         self._rewrite(merged, table)
 
-    def delete_where(self, spark: SparkSession, table: str, condition):
-        """Iceberg: DELETE FROM table WHERE cond."""
+    def delete_where(
+        self, spark: SparkSession, table: str, condition,
+        partition_by: list[str] | None = None,
+    ):
+        """Iceberg: DELETE FROM table WHERE cond.  Pass partition_by to
+        preserve a partitioned table's layout across the parquet-fallback
+        rewrite (Iceberg keeps it implicitly; a plain rewrite would flatten
+        the dirs and lose partition pruning for later reads)."""
         if not self.exists(table):
             return
         cur = self.read(spark, table)
-        self._rewrite(cur.filter(~condition), table)
+        self._rewrite(cur.filter(~condition), table, partition_by)
 
     def _rewrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
         stage = self.path(table) + ".__stage__"

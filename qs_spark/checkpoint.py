@@ -21,6 +21,7 @@ checkpoint table so runs resume idempotently mid-table"):
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -34,6 +35,43 @@ SPANS_TABLE = "spans_extracted"
 
 def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+
+
+def folder_size_bytes(path: str) -> int:
+    """A6 (quanta-search-consumer/utils/util.py:228-262): total bytes of a
+    file or a directory tree — 0 when the path doesn't exist, unreadable
+    files skipped, exactly the reference's semantics.  The reference sizes
+    its index store with this before every index update to decide a backup
+    (file_upload.py:375).  On a real catalog the same figure comes free from
+    table metadata (Iceberg snapshot `total-files-size`); this is the
+    filesystem form for local parquet-dir catalogs — one driver-side walk of
+    table METADATA scale (file entries), never data."""
+    if not os.path.exists(path):
+        return 0
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+            except OSError:
+                continue
+    return total
+
+
+def index_backup_decision(
+    index_db_size: int, backup_max_size: int, backup_name: str
+) -> tuple[bool, str]:
+    """A6 consumer (file_upload.py:377-382): trigger an index backup whenever
+    the store size is an exact MULTIPLE of INDEX_BACKUP_MAX_SIZE, versioning
+    the backup name by the multiple.  Quirk-faithful: the reference tests
+    ``size % max == 0`` (so size 0 also triggers, and a size that skips past
+    a multiple between checks does not) — reproduced as-is, not 'fixed' to a
+    >= threshold."""
+    if backup_max_size and index_db_size % backup_max_size == 0:
+        return True, f"{backup_name}_{int(index_db_size / backup_max_size)}"
+    return False, backup_name
 
 
 def committed_buckets(spark: SparkSession, cat: ParquetCatalog) -> set[int]:
