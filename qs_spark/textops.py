@@ -1323,7 +1323,11 @@ def pack_sequences(
         pdf["_local_pack"] = packs
         return pdf
 
-    packed = slim.groupBy("_shard").applyInPandas(fill, schema=out_schema)
+    # cached: the counts action below and the caller's consumption would
+    # otherwise BOTH run the shuffle + fill kernel (measured two full
+    # executions of the packing plan); the cached set is slim (doc_id + two
+    # ints per row), released via cachereg.release_caches()
+    packed = scoped_cache(slim.groupBy("_shard").applyInPandas(fill, schema=out_schema))
     # per-shard pack counts -> base offsets (n_shards driver rows)
     counts = (
         packed.groupBy("_shard")
