@@ -82,7 +82,15 @@ def delete_versions(
     index.  Returns the surviving (registry, spans[, postings]).
 
     The postings table keys rows by document_id (+ version_id when present);
-    tables without a version column cascade on doc alone."""
+    tables without a version column cascade on doc alone.
+
+    Workflow-layer companion: the reference's delete flow ends with
+    cache.delete_one(uid) (file_upload.py:642) — callers holding a
+    qcache result-cache should follow this cascade with
+    qcache.cache_invalidate(spark, cat, uid), same as the reference keeps
+    the Redis delete outside the DB mutation itself.  Even a missed
+    invalidation self-heals on the next lookup via the __td total-docs
+    guard (test_qcache integration test pins both layers)."""
     if version_id is None:
         cond = F.col("doc_id") != doc_id
     else:

@@ -155,3 +155,33 @@ def test_cache_table_layout_is_uid_partitioned(spark, cat, tmp_path):
     Q.cache_store(cat, _results(spark, [("a.txt", 3, 82.5)]), **BASE)
     root = cat.path(Q.CACHE_TABLE)
     assert os.path.isdir(os.path.join(root, "__uid=u1"))
+
+
+def test_delete_cascade_composes_with_cache(spark, cat):
+    """The reference's delete workflow order (file_upload.py:481-651 cascade
+    then :642 cache.delete_one): after a doc delete, (a) explicit
+    invalidation clears the tenant's entry, and (b) even WITHOUT it the
+    __td total-docs guard rejects the stale entry — the two staleness layers
+    the reference runs."""
+    from qs_spark.registry import delete_versions
+
+    reg = spark.createDataFrame(
+        [("d1", 1, "Publish"), ("d2", 1, "Publish")],
+        "doc_id string, version_id int, state string",
+    )
+    spans = spark.createDataFrame(
+        [("d1", 1, "alpha"), ("d2", 1, "beta")],
+        "doc_id string, version_id int, text string",
+    )
+    td = reg.select("doc_id").distinct().count()
+    Q.cache_store(
+        cat, _results(spark, [("a.txt", 3, 82.5)]), **{**BASE, "total_docs": td}
+    )
+    reg2, spans2 = delete_versions(reg, spans, "d2", None)
+    assert (reg2.count(), spans2.count()) == (1, 1)
+    # layer 1: the guard self-heals — total docs changed, lookup misses
+    td2 = reg2.select("doc_id").distinct().count()
+    assert Q.cache_lookup(spark, cat, **{**BASE, "total_docs": td2}) is None
+    # layer 2: the workflow's explicit delete_one analog
+    Q.cache_invalidate(spark, cat, BASE["uid"])
+    assert Q.cache_lookup(spark, cat, **{**BASE, "total_docs": td}) is None
