@@ -315,9 +315,35 @@ def main_bench() -> None:
         # 8/32 procs (r04 calm: ~1.5M/s at 8).  This figure lets any round's
         # suite seconds be normalized against what the box could deliver.
         "hw_md5_per_proc": round(_hw_control(CPUS, 400_000) / CPUS, 1),
+        # disk-write control (see _hw_io_write_mbps): extract/search are the
+        # I/O-heavy queries; a low figure here explains a slow artifact the
+        # steal/md5 controls don't
+        "hw_write_mbps": _hw_io_write_mbps(),
         **extras,
     }
     print(json.dumps(out))
+
+
+def _hw_io_write_mbps(n_mb: int = 128) -> float:
+    """Disk-write control: fsync'd sequential write to the bench's own /tmp
+    filesystem -> MB/s.  The extract query writes a ~0.5 GB store; on this
+    box the shared host DISK degrades independently of CPU steal and of the
+    md5 ALU control (observed: a run with ~0% trial steal and a ~92%-of-calm
+    md5 control where extract still ran 2.3x slow — write throughput was the
+    only degraded axis).  Recording it makes such artifacts self-explaining."""
+    import os as _os
+
+    path = "/tmp/qs_bench_io_probe.bin"
+    blk = _os.urandom(1024 * 1024)
+    t0 = time.time()
+    with open(path, "wb") as f:
+        for _ in range(n_mb):
+            f.write(blk)
+        f.flush()
+        _os.fsync(f.fileno())
+    dt = time.time() - t0
+    _os.remove(path)
+    return round(n_mb / dt, 1)
 
 
 def _md5_work(k: int) -> int:
