@@ -319,6 +319,12 @@ def main_bench() -> None:
         # I/O-heavy queries; a low figure here explains a slow artifact the
         # steal/md5 controls don't
         "hw_write_mbps": _hw_io_write_mbps(),
+        # allocation-profile control (str/dict churn like the extraction
+        # kernel, bound by memory bandwidth + allocator): the control that
+        # actually matches extract's profile — a window can read near-calm
+        # md5 yet deliver a fraction of calm memory bandwidth (observed,
+        # BASELINE.md round-5c), and extract alone inflates
+        "hw_mem_per_proc": round(_mem_control(CPUS) / CPUS, 1),
         **extras,
     }
     print(json.dumps(out))
