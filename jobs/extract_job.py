@@ -38,12 +38,25 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", help="input docs table path (doc_id, spans[])")
     p.add_argument("--synthetic", type=int, help="generate N synthetic docs instead")
+    p.add_argument(
+        "--corpus-path",
+        default=None,
+        help="with --synthetic: materialize the corpus at this path "
+        "(default: a shared /tmp cache keyed by doc count)",
+    )
     p.add_argument("--output", required=True, help="warehouse dir (spans + checkpoints)")
     p.add_argument("--run-id", required=True)
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--buckets-per-wave", type=int, default=16)
     p.add_argument("--chunk-size", type=int, default=102400)
     p.add_argument("--cores", type=int, default=None, help="local mode cores (omit on a cluster)")
+    p.add_argument(
+        "--fail-after-waves",
+        type=int,
+        default=None,
+        help="crash-injection drill: raise after N committed waves so the "
+        "next run (same --output, fresh --run-id) must resume mid-table",
+    )
     args = p.parse_args(argv)
 
     if args.cores:
@@ -60,7 +73,7 @@ def main(argv=None) -> int:
     from qs_spark.corpus import corpus_parquet
 
     if args.synthetic:
-        docs = corpus_parquet(spark, args.synthetic)
+        docs = corpus_parquet(spark, args.synthetic, path=args.corpus_path)
     elif args.input:
         docs = spark.read.parquet(args.input)
     else:
@@ -82,6 +95,7 @@ def main(argv=None) -> int:
         n_buckets=args.n_buckets,
         buckets_per_wave=args.buckets_per_wave,
         chunk_size=args.chunk_size,
+        fail_after_waves=args.fail_after_waves,
     )
     n = spans.count()
     print(f"run {args.run_id}: {n} spans in {args.output}/spans_extracted")
