@@ -724,7 +724,13 @@ def _pure_sheet_chunks(
     _pure_model_ok's per-process battery and the hypothesis property test."""
     if not _pure_model_ok():
         return None
-    if '"' in text or "\r" in text:
+    # NUL and BOM break the verbatim-header model BEFORE the data-block
+    # charset gate runs: pandas' C parser truncates a header cell at '\x00'
+    # ('\x00a' -> empty -> 'Unnamed: 0', which must trigger the retry loop
+    # and, in csv mode, the reference's propagated EmptyDataError) and
+    # strips a leading U+FEFF BOM — found by the dispatch fuzz, so opt out
+    # with the quote/CR cases and let the pandas path decide
+    if '"' in text or "\r" in text or "\x00" in text or "\ufeff" in text:
         return None
     # any empty line (leading/trailing/blank) <=> pandas semantics differ;
     # equivalent to the former '"" in text.split("\n")' without the split

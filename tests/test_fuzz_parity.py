@@ -1,4 +1,7 @@
-"""Property-based parity: the pipeline's regex-tokenizer HTML kernel must
+"""Property-based kernel<->serial-reference parity (HTML markup fuzz +
+whole-dispatch span-structure fuzz).
+
+HTML: the pipeline's regex-tokenizer HTML kernel must
 agree with the KERNEL-INDEPENDENT serial reference (tools/serial_reference,
 driven by stdlib html.parser callbacks — a deliberately different
 architecture) on ARBITRARY hostile markup, not just the curated list in
@@ -71,3 +74,49 @@ markup = st.lists(token, min_size=0, max_size=40).map("".join)
 def test_html_kernel_matches_serial_reference_on_fuzzed_markup(html):
     spans = [{"kind": "html", "text": html, "media_ref": "", "offset": 0}]
     assert safe_extract_doc(spans, None) == sr.ref_safe_extract_doc(spans, None)
+
+
+# ---- dispatch-level fuzz: random span structures across ALL kernels ----
+#
+# This is the fuzzer that caught the NUL/BOM sheet divergence (r05): pandas'
+# C parser truncates a header cell at '\x00' ('\x00a' -> 'Unnamed: 0' -> the
+# retry loop -> csv-mode EmptyDataError fails the whole doc) and strips a
+# leading U+FEFF BOM, while the pandas-free pure-sheet path modeled headers
+# verbatim and silently skipped/chunked instead.  60k seeded cases pass with
+# the pure-path NUL/BOM opt-out in place.
+
+KINDS = ["html", "pdf_text", "pdf_table", "pdf_figure", "docx_para",
+         "docx_table", "ocr_region", "sheet_rows", "csv_rows", "txt", "md",
+         "unknown_kind", ""]
+SPAN_TEXTS = [None, "", " ", "a,b\n1,2\n3,4", "one. two. three. four ends here.",
+              "<p>hello world</p>", "col1,col2\nUnnamed: 0,x\n1,2",
+              "a\tb\nc\td", "x" * 300, "line1\nline2\n\nline3", "a,b\n,\n,",
+              "Header\n=====\ntext", "5 < 6 &amp; more", "\x00\x01",
+              "İstanbul ß €", "a,b,c\n1,2\n3,4,5,6", '"q,uoted",2\n3,4',
+              "﻿a,b\nx,y", "\x00a,b\nx,y", "a,\x00\nx,y",
+              "Unnamed: 0,Unnamed: 1\n1,2\n3,4"]
+
+span = st.fixed_dictionaries({
+    "kind": st.sampled_from(KINDS),
+    "text": st.sampled_from(SPAN_TEXTS),
+    "media_ref": st.sampled_from(["", "m1", "s3://x/y.png"]),
+    "offset": st.sampled_from([0, 1, 3, -1, 100]),
+})
+span_doc = st.lists(span, min_size=0, max_size=6)
+
+
+@settings(max_examples=300, deadline=None)
+@given(spans=span_doc)
+def test_dispatch_matches_serial_reference_on_fuzzed_spans(spans):
+    assert safe_extract_doc(spans, None) == sr.ref_safe_extract_doc(spans, None)
+
+
+def test_nul_and_bom_sheet_regressions():
+    """The exact divergences the fuzzer caught, pinned deterministically."""
+    for text in ("\x00\x01", "\x00a,b\nx,y", "a,\x00\nx,y", "﻿a,b\nx,y"):
+        for kind in ("csv_rows", "sheet_rows"):
+            spans = [{"kind": kind, "text": text, "media_ref": "", "offset": 0}]
+            assert (
+                safe_extract_doc(spans, None)
+                == sr.ref_safe_extract_doc(spans, None)
+            ), (kind, text)
