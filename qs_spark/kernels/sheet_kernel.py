@@ -266,23 +266,37 @@ def _fmt_obj_cell(v) -> str | None:
     return None
 
 
+def _fmt_labels(cols) -> list[str]:
+    """Column labels exactly as pandas' Index._format_with_header renders
+    them for a string/object column Index (the only kind read_csv yields):
+    format_array adds ONE leading space to every escaped label
+    (leading_space=True), then trim_front strips leading ASCII spaces — one
+    per round, only while ALL labels are non-empty AND all start with ' '
+    (so ' a ' prints as 'a ', [' a', 'b'] keeps ' a' because 'b' has no
+    space to share, and '\\xa0a' keeps its non-breaking space — found by the
+    sheet fuzzer on space-led and unicode-whitespace headers)."""
+    out = [" " + _escape(str(c)) for c in cols]
+    while all(out) and all(x[0] == " " for x in out):
+        out = [x[1:] for x in out]
+    return out
+
+
 def _hdr_strings(df: pd.DataFrame, dts: list | None = None) -> list[str]:
-    """Column labels as to_string prints them: escaped, and prefixed with a
-    single space for numeric-dtype columns (pandas
-    _get_formatted_column_labels' need_leadsp — int/float/bool headers get
-    ' name' so a sign column never touches the label).
+    """Column labels as to_string prints them: the _fmt_labels render
+    (escape + leading-space + trim_front), then prefixed with a single
+    space for numeric-dtype columns (pandas _get_formatted_column_labels'
+    need_leadsp — int/float/bool headers get ' name' so a sign column never
+    touches the label; applied AFTER the trim, as in pandas).
 
     dts: precomputed list(df.dtypes) — the .dtypes property builds a fresh
     Series per access and dominated this function's profile when taken per
     column."""
     if dts is None:
         dts = list(df.dtypes)
-    out = []
-    for c, dt in zip(df.columns, dts):
-        h = _escape(str(c))
+    out = _fmt_labels(df.columns)
+    for i, dt in enumerate(dts):
         if isinstance(dt, np.dtype) and dt.kind in "iufb":
-            h = " " + h
-        out.append(h)
+            out[i] = " " + out[i]
     return out
 
 
@@ -743,7 +757,13 @@ def _pure_sheet_chunks(
     # lazily (one find per retry) -- most sheets take zero retries.
     n = len(text)
     nl = text.find("\n")
-    fields = (text[:nl] if nl != -1 else text).split(",")
+    hdr_line = text[:nl] if nl != -1 else text
+    if not hdr_line.strip():
+        # a whitespace-only line is BLANK to pandas (skip_blank_lines covers
+        # it even when non-empty: ' \nx' parses with header 'x'), which the
+        # verbatim line model can't express — pandas path (dispatch fuzz)
+        return None
+    fields = hdr_line.split(",")
     labels = [f if f else f"Unnamed: {i}" for i, f in enumerate(fields)]
     while all(l.startswith("Unnamed") for l in labels):
         if nl == -1:
@@ -752,7 +772,10 @@ def _pure_sheet_chunks(
             return None
         off = nl + 1
         nl = text.find("\n", off)
-        fields = (text[off:nl] if nl != -1 else text[off:]).split(",")
+        hdr_line = text[off:nl] if nl != -1 else text[off:]
+        if not hdr_line.strip():
+            return None  # blank-to-pandas candidate line, as above
+        fields = hdr_line.split(",")
         labels = [f if f else f"Unnamed: {i}" for i, f in enumerate(fields)]
         if excel_mode and nl == -1:
             return []  # ref: `if df.empty: return None` right after a re-read
@@ -803,9 +826,14 @@ def _pure_sheet_chunks(
 
     rows = [tuple(ln.split(",")) for ln in block.split("\n")]
     lens = lens_flat.reshape(nrows, ncols)
-    hdr_len = np.array([len(h) for h in labels], dtype="int64")
+    # rendered headers: the _fmt_labels render (the pure grammar's frames
+    # are all-object, so no numeric leading space); the empty-selection
+    # repr keeps the VERBATIM labels (pandas prints the raw column Index
+    # there, untrimmed)
+    hdr = _fmt_labels(labels)
+    hdr_len = np.array([len(h) for h in hdr], dtype="int64")
     empty_repr = "Empty DataFrame\nColumns: [%s]\nIndex: []" % ", ".join(labels)
-    return _chunk_from_cells(rows, labels, hdr_len, lens, lambda: empty_repr, chunk_size)
+    return _chunk_from_cells(rows, hdr, hdr_len, lens, lambda: empty_repr, chunk_size)
 
 
 def _pure_model_ok() -> bool:

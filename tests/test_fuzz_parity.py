@@ -111,6 +111,73 @@ def test_dispatch_matches_serial_reference_on_fuzzed_spans(spans):
     assert safe_extract_doc(spans, None) == sr.ref_safe_extract_doc(spans, None)
 
 
+# ---- sheet text fuzz: the parse/format path (text -> frame -> chunks) ----
+#
+# Caught two more real divergences (r05):
+#   1. pandas' C parser skips WHITESPACE-ONLY lines as blank (' \nx' parses
+#      with header 'x'); the pure path took ' ' as the header line.
+#   2. to_string column headers go through Index._format_with_header:
+#      escape + one leading space + trim_front (strip leading ASCII spaces
+#      while ALL labels are non-empty and all start with ' ') — so ' a '
+#      prints as 'a ', [' a', 'b'] keeps ' a', and '\xa0a' keeps its
+#      non-breaking space.  The kernel's closed-form width model used
+#      verbatim labels.
+# 80k seeded cases pass with both fixes.
+
+SHEET_CELLS = ["a", "bb", "hello", "x_1", "Name Two", "", " ", "  ", "\t",
+               "1", "007", "2.5", "1.50", "-3", "1e5", "NaN", "nan", "True",
+               "false", "none", "inf", "9223372036854775807", "café",
+               "a b c", "_u", "0.1000", "1.", ".5", "Unnamed: 0", "-0",
+               "1e-3", "NA", "null", "Infinity", "1_000", "+4", "a ", " a",
+               " a ", "a\x0bb", "\xa0a", "  x", "\tq"]
+
+sheet_line = st.lists(
+    st.sampled_from(SHEET_CELLS), min_size=1, max_size=5
+).map(",".join)
+sheet_text = st.lists(sheet_line, min_size=1, max_size=7).map("\n".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    text=sheet_text,
+    excel=st.booleans(),
+    cs=st.sampled_from([15, 30, 60, 120, 400, 102400]),
+)
+def test_sheet_walker_matches_serial_reference_on_fuzzed_csv(text, excel, cs):
+    from qs_spark.kernels.sheet_kernel import walk_sheets
+
+    def run(fn):
+        try:
+            return ("ok", fn())
+        except Exception as e:  # noqa: BLE001 — exception text is contract
+            return ("err", f"{type(e).__name__}: {e}")
+
+    spans = [{"kind": "x", "text": text, "media_ref": "", "offset": 0}]
+    a = run(lambda: walk_sheets(spans, excel, chunk_size=cs))
+    b = run(lambda: sr.ref_walk_sheets(spans, excel, cs))
+    assert a == b
+
+
+def test_sheet_header_format_regressions():
+    """The exact header-model divergences the sheet fuzzer caught."""
+    from qs_spark.kernels.sheet_kernel import walk_sheets
+
+    cases = [
+        " \nx_1\nx_1",          # whitespace-only line is blank to pandas
+        " a, \nx,y\nq,w",       # trim_front strips shared leading spaces
+        " a,b\nx,y\nq,w",       # ...but not when another label lacks one
+        "\xa0a\nbb\ncc",        # non-breaking space is NOT trimmed
+        "a\tb\nxxxx\nyyyy",     # header tab rendered escaped ('a\\tb')
+        " a \nxxx\nyyy",        # leading stripped, trailing kept ('a ')
+    ]
+    for text in cases:
+        for excel in (True, False):
+            for cs in (15, 60, 102400):
+                spans = [{"kind": "x", "text": text, "media_ref": "", "offset": 0}]
+                assert walk_sheets(spans, excel, chunk_size=cs) == \
+                    sr.ref_walk_sheets(spans, excel, cs), (text, excel, cs)
+
+
 def test_nul_and_bom_sheet_regressions():
     """The exact divergences the fuzzer caught, pinned deterministically."""
     for text in ("\x00\x01", "\x00a,b\nx,y", "a,\x00\nx,y", "﻿a,b\nx,y"):
