@@ -111,6 +111,62 @@ def test_dispatch_matches_serial_reference_on_fuzzed_spans(spans):
     assert safe_extract_doc(spans, None) == sr.ref_safe_extract_doc(spans, None)
 
 
+# ---- txt + pdf walker fuzz (30k/40k seeded cases clean offline) ----
+
+TXT_FRAGS = ["Hello world", "a", "", " ", "One. Two. Three", "x?! y",
+             "no end", "Dr. Smith went", "a.b", "...", "word " * 50, "tail.",
+             "A!B?C.", "line\nbreak", "\t", "é ü ß", "end. ", ". lead",
+             "a  b", "U.S. code"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    frags=st.lists(st.sampled_from(TXT_FRAGS), min_size=0, max_size=10),
+    cs=st.sampled_from([5, 12, 25, 60, 200, 102400]),
+)
+def test_txt_chunker_matches_serial_reference(frags, cs):
+    from qs_spark.kernels.txt_kernel import walk_txt
+
+    spans = [{"kind": "txt", "text": "".join(frags), "media_ref": "", "offset": 0}]
+
+    def run(fn):
+        try:
+            return ("ok", fn())
+        except Exception as e:  # noqa: BLE001
+            return ("err", f"{type(e).__name__}: {e}")
+
+    assert run(lambda: walk_txt(spans, chunk_size=cs)) == run(
+        lambda: sr.ref_walk_txt(spans, cs)
+    )
+
+
+pdf_span = st.fixed_dictionaries({
+    "kind": st.sampled_from(["pdf_text", "pdf_table", "pdf_figure",
+                             "ocr_region", "docx_para", "docx_table"]),
+    "text": st.sampled_from([None, "", " ", "page text here", "low",
+                             "x" * 40, "multi\nline", "é"]),
+    "media_ref": st.sampled_from(["", "m0", "m1", "s3://b/f.png"]),
+    "offset": st.integers(min_value=0, max_value=7),
+})
+
+
+@settings(max_examples=200, deadline=None)
+@given(spans=st.lists(pdf_span, min_size=0, max_size=8),
+       plan=st.sampled_from(["basic", "basic +"]))
+def test_pdf_walker_matches_serial_reference(spans, plan):
+    from qs_spark.kernels.pdf_kernel import walk_pages
+
+    def run(fn):
+        try:
+            return ("ok", fn())
+        except Exception as e:  # noqa: BLE001
+            return ("err", f"{type(e).__name__}: {e}")
+
+    assert run(lambda: walk_pages(spans, plan=plan)) == run(
+        lambda: sr.ref_walk_pages(spans, plan)
+    )
+
+
 # ---- sheet text fuzz: the parse/format path (text -> frame -> chunks) ----
 #
 # Caught two more real divergences (r05):
