@@ -751,6 +751,25 @@ def _pure_sheet_chunks(
     if not text or text[0] == "\n" or text[-1] == "\n" or "\n\n" in text:
         return None
 
+    # EVERY pandas read in the Unnamed-retry loop parses from its skiprows
+    # offset to the END of the text, so a line with MORE fields than an
+    # EARLIER read's header raises ParserError (or flips implicit-index
+    # promotion) before the lazy peel below ever reaches it — found by the
+    # sheet fuzzer: 'Unnamed: 0\nUnnamed: 0\na,bb' errors on read 0
+    # ("Expected 1 fields in line 3, saw 2") while the peel would accept
+    # header 'a,bb' at read 2.  Require a fully UNIFORM comma-count matrix
+    # up front (',' and '\n' are unambiguous single bytes in UTF-8): every
+    # read is then raggedness-free and the peel is an exact model; anything
+    # non-uniform falls back to the pandas path.
+    _ub = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    _cc = np.cumsum(_ub == 44)
+    _nl_pos = np.flatnonzero(_ub == 10)
+    _per_line = np.diff(
+        np.concatenate(([0], _cc[_nl_pos], [int(_cc[-1])]))
+    )
+    if _per_line.size > 1 and (_per_line != _per_line[0]).any():
+        return None
+
     # header + the reference's all-"Unnamed" skiprows retry loop
     # (_read_with_unnamed_retry): re-read with one more leading line skipped
     # until some label doesn't start with "Unnamed".  Lines are peeled

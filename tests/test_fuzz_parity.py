@@ -39,7 +39,16 @@ ATTRS = ["href", "data-x", "a", "class", "=junk", "a-b"]
 VALS = ["v", "a>b", "http://x.com/", "a b", "'q'", '"q"', "", "a<b", "x/"]
 TEXTS = ["hello world", "a & b", "&amp;", "&nbsp;", "5 < 6", "x > y", "&#65;",
          "&#x42;", "plain much longer text body here today", "tail", " ",
-         "&#bad;", "longer body text for density checks", "a&b", "x<y>z"]
+         "&#bad;", "longer body text for density checks", "a&b", "x<y>z",
+         # named-entity LONGEST-PREFIX matching without ';' (browsers and
+         # html.unescape match '&notin' -> '¬in' via the '&not' prefix):
+         "&notin", "&notin;", "&times", "&timesbar;", "&centerdot",
+         "&curren", "&currency;", "&ampamp", "&gtgt", "&lt x",
+         # charref edge values: NUL, surrogate range, max/overflow, C1 window
+         "&#0;", "&#xD800;", "&#xDFFF;", "&#x10FFFF;", "&#x110000;",
+         "&#x80;", "&#x9F;", "&#13;", "&#xA;",
+         # CR/CRLF soup (parser buffer-boundary behavior)
+         "a\r\nb", "a\rb", "\r", "\r\n"]
 MISC = ["<!-- c -->", "<!-- <p>x</p> -->", "<!doctype html>", "<![if x]>",
         "<![endif]>", "<", ">", "</", "<>", "</ x>", "< p>", "&", ";", "<!",
         "<?pi x?>", "<!-->", "--!>", "/>",
@@ -48,7 +57,17 @@ MISC = ["<!-- c -->", "<!-- <p>x</p> -->", "<!doctype html>", "<![if x]>",
         "&#x;", "&#;", "&Amp;", "<![CDATA[x]]>", "<![cdata[x]]>",
         "<!--", "-->", "<!---->", "<!--->", "<a href='", "'>", '">',
         "<p a='unterminated>", "<p a=\"x", "=", "<!x>", "<?", "?>",
-        "<p\x00q>", "<p/ >", "<//p>", "<p!>", "&#X41;", "&gt", "&LT;"]
+        "<p\x00q>", "<p/ >", "<//p>", "<p!>", "&#X41;", "&gt", "&LT;",
+        # rawtext near-miss close tags + markup hidden inside rawtext
+        "<script><!--", "--></script>", "<script>a</scr", "ipt>b</script>",
+        "<style>/*</p>*/</style>", "<script></style></script>",
+        "<script>'</script x>'</script>", "<title>", "</title>",
+        "<textarea></textarea>", "</ script>", "</scr ipt>",
+        # spaced '=' and duplicate attributes (parse_starttag corners)
+        "<p a = 'x'>", "<p a='1' a=\"2\">", "<p =x>", "<p a=>", "<p a ==b>",
+        # doctype / marked-section variants
+        "<!DOCTYPE html PUBLIC '-//W3C//DTD'>", "<![INCLUDE[x]]>",
+        "<!ENTITY x 'y'>", "<?xml version='1.0'?>"]
 SOUP = "<>/&;=\"' abAB-.:_!x\n\t\r\x00\xa0İß€?[]"
 
 _open = st.sampled_from(NAMES).map(lambda n: f"<{n}>")
@@ -94,7 +113,11 @@ SPAN_TEXTS = [None, "", " ", "a,b\n1,2\n3,4", "one. two. three. four ends here."
               "Header\n=====\ntext", "5 < 6 &amp; more", "\x00\x01",
               "İstanbul ß €", "a,b,c\n1,2\n3,4,5,6", '"q,uoted",2\n3,4',
               "﻿a,b\nx,y", "\x00a,b\nx,y", "a,\x00\nx,y",
-              "Unnamed: 0,Unnamed: 1\n1,2\n3,4"]
+              "Unnamed: 0,Unnamed: 1\n1,2\n3,4",
+              # unbalanced quotes / dup headers / trailing commas / wide rows
+              '"a\nb', 'a,a\n1,2', 'a,b,\n1,2,\n', '"x""y",2\np,q',
+              'a;b\n1;2', " \t \nx,y\n1,2", "a,b\r\n1,2\r\n", "a,b\r1,2",
+              ",,,\n,,,\n", '"unterminated,b\n1,2\n3,4']
 
 span = st.fixed_dictionaries({
     "kind": st.sampled_from(KINDS),
@@ -185,7 +208,16 @@ SHEET_CELLS = ["a", "bb", "hello", "x_1", "Name Two", "", " ", "  ", "\t",
                "false", "none", "inf", "9223372036854775807", "café",
                "a b c", "_u", "0.1000", "1.", ".5", "Unnamed: 0", "-0",
                "1e-3", "NA", "null", "Infinity", "1_000", "+4", "a ", " a",
-               " a ", "a\x0bb", "\xa0a", "  x", "\tq"]
+               " a ", "a\x0bb", "\xa0a", "  x", "\tq",
+               # dtype-inference flippers for the closed-form to_string model:
+               # int64 overflow -> object/float, inf literals, float repr
+               # boundaries, full-width digits, date-ish strings
+               "12345678901234567890123", "1e309", "-1e309", "-.5", "5.",
+               "0.30000000000000004", "9007199254740993", "１２３",
+               "2020-01-01", "1/2/2021", "0x1F", "00", "-0.0", "1E5",
+               "3.141592653589793238", "TRUE", "False ", "N/A", "<NA>",
+               "0.1", "0.10", "1e16", "1e15", "-9223372036854775808",
+               "9223372036854775808", "nan ", " inf", "+inf", "-inf"]
 
 sheet_line = st.lists(
     st.sampled_from(SHEET_CELLS), min_size=1, max_size=5
@@ -225,13 +257,28 @@ def test_sheet_header_format_regressions():
         "\xa0a\nbb\ncc",        # non-breaking space is NOT trimmed
         "a\tb\nxxxx\nyyyy",     # header tab rendered escaped ('a\\tb')
         " a \nxxx\nyyy",        # leading stripped, trailing kept ('a ')
+        # EVERY retry read parses to the END of the text: a wider line
+        # below raggedness-errors read 0 ("Expected 1 fields in line 3,
+        # saw 2") before the lazy peel would accept header 'a,bb' at
+        # read 2 — the uniform-comma-matrix gate must route to pandas
+        "Unnamed: 0\nUnnamed: 0\na,bb",
+        # narrowing lines pad NaN instead (no error): earlier reads
+        # succeed all-Unnamed, the final header is accepted
+        "Unnamed: 0,Unnamed: 1,Unnamed: 2\na,b\nc,d",
     ]
+    def run(fn):
+        try:
+            return ("ok", fn())
+        except Exception as e:  # noqa: BLE001 — exception text is contract
+            return ("err", f"{type(e).__name__}: {e}")
+
     for text in cases:
         for excel in (True, False):
             for cs in (15, 60, 102400):
                 spans = [{"kind": "x", "text": text, "media_ref": "", "offset": 0}]
-                assert walk_sheets(spans, excel, chunk_size=cs) == \
-                    sr.ref_walk_sheets(spans, excel, cs), (text, excel, cs)
+                a = run(lambda: walk_sheets(spans, excel, chunk_size=cs))
+                b = run(lambda: sr.ref_walk_sheets(spans, excel, cs))
+                assert a == b, (text, excel, cs, a, b)
 
 
 def test_nul_and_bom_sheet_regressions():
