@@ -844,8 +844,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding",
             lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("bigint"),
         )
+        # decode_error is all-null on the synthetic corpus (every payload is
+        # well-formed); drop it so the golden oracle's schema stays stable
         feats = extract_features(media).withColumn("embedding_e6", F.to_json(e6)).drop(
-            "embedding"
+            "embedding", "decode_error"
         )
         frames = sample_frames(media).groupBy("media_ref").agg(
             F.count("*").alias("n_frames"), F.max("ts_ms").alias("last_ts_ms")

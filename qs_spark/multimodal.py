@@ -441,25 +441,37 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("mime", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("decode_error", T.StringType()),
     ]
 )
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """decode -> fixed-dim feature vector (histogram-of-decoded-values — the
-    stub stand-in for a vision/audio encoder), one Arrow batch at a time."""
+    stub stand-in for a vision/audio encoder), one Arrow batch at a time.
+
+    Per-row error isolation, same contract as probe_media: a corrupt payload
+    yields (embedding=None, decode_error="Type: msg") instead of failing the
+    task — at 100 TB a single bad byte range upstream must not kill the job
+    (the media-corruption fuzz found wave.Error/zlib.error escaping here)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_ref": [], "mime": [], "n_bytes": [], "embedding": []}
+            out = {"media_ref": [], "mime": [], "n_bytes": [], "embedding": [],
+                   "decode_error": []}
             for ref, mime, payload in zip(pdf["media_ref"], pdf["mime"], pdf["payload"]):
-                decoded = _decode(bytes(payload), mime)
-                hist, _ = np.histogram(decoded, bins=EMBED_DIM, range=(0, 256))
-                vec = (hist / max(len(decoded), 1)).astype(np.float32)
+                vec, err = None, None
+                try:
+                    decoded = _decode(bytes(payload), mime)
+                    hist, _ = np.histogram(decoded, bins=EMBED_DIM, range=(0, 256))
+                    vec = (hist / max(len(decoded), 1)).astype(np.float32).tolist()
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    err = f"{type(e).__name__}: {e}"[:200]
                 out["media_ref"].append(ref)
                 out["mime"].append(mime)
                 out["n_bytes"].append(len(payload))
-                out["embedding"].append(vec.tolist())
+                out["embedding"].append(vec)
+                out["decode_error"].append(err)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, _FEATURE_SCHEMA)

@@ -47,6 +47,24 @@ def test_frame_sampling_bounded_by_duration(spark):
         assert list(g.sort_values("frame_idx").frame_idx) == list(range(len(g)))
 
 
+def test_corrupt_payload_isolated_per_row(spark):
+    """A corrupt payload must not fail the task: the row gets
+    (embedding=None, decode_error=...) while every other row in the same
+    Arrow batch still embeds (the media-corruption fuzz found
+    wave.Error/zlib.error escaping the feature kernel before this)."""
+    m = synth_media_df(spark, 8).toPandas()
+    # truncate one payload and flip another's magic bytes
+    m.loc[0, "payload"] = bytes(m.loc[0, "payload"])[:3]
+    m.loc[1, "payload"] = b"\x00\x00" + bytes(m.loc[1, "payload"])[2:]
+    broken = spark.createDataFrame(m)
+    feats = extract_features(broken).toPandas().set_index("media_ref")
+    bad = feats.loc[[m.loc[0, "media_ref"], m.loc[1, "media_ref"]]]
+    assert bad.embedding.isna().all() and bad.decode_error.notna().all()
+    good = feats.drop(bad.index)
+    assert good.decode_error.isna().all()
+    assert all(len(e) > 0 for e in good.embedding)
+
+
 def test_media_features_feed_ann(spark):
     m = synth_media_df(spark, 100)
     feats = extract_features(m).select(
