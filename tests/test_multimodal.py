@@ -280,6 +280,55 @@ def test_jpeg_flat_image_decodes_exactly():
         assert set(dec.tolist()) == {want}, (v, want, set(dec.tolist()))
 
 
+def test_jpeg_property_roundtrip_and_corruption():
+    """Property regime frozen from the offline fuzz (1.5k roundtrips + 1.5k
+    corruptions): decode(encode(img)) is shape-correct with bounded MEAN
+    absolute error for arbitrary images (per-pixel max error is unbounded
+    for impulses under lossy JPEG — a single 177-valued pixel in a black
+    3x4 RGB image legitimately reconstructs 161 off), and single-byte
+    flips/truncations of a valid stream either decode or raise a clean
+    error in bounded time — never hang."""
+    import time
+
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qs_spark.kernels.jpeg_codec import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(seed=st.integers(0, 10_000),
+           wh=st.tuples(st.integers(1, 24), st.integers(1, 24)),
+           rgb=st.booleans())
+    def roundtrip(seed, wh, rgb):
+        rng = np.random.default_rng(seed)
+        shape = (*wh, 3) if rgb else wh
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = np.asarray(decode_jpeg(encode_jpeg(img)), np.int32).reshape(shape)
+        mae = np.abs(dec - img.astype(np.int32)).mean()
+        assert mae <= 48, (shape, mae)
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(pos_frac=st.floats(0, 1), b=st.integers(0, 255),
+           trunc=st.booleans())
+    def corrupt(pos_frac, b, trunc):
+        rng = np.random.default_rng(7)
+        buf = bytearray(encode_jpeg(rng.integers(0, 256, (16, 16), np.uint8)))
+        p = min(len(buf) - 1, int(pos_frac * len(buf)))
+        buf = buf[:p] if trunc else (buf[:p] + bytes([b]) + buf[p + 1:])
+        t0 = time.time()
+        try:
+            decode_jpeg(bytes(buf))
+        except (ValueError, IndexError, KeyError) as exc:  # noqa: F841
+            pass
+        assert time.time() - t0 < 10
+
+    roundtrip()
+    corrupt()
+
+
 def test_jpeg_roundtrip_bounded_by_quantization():
     import numpy as np
 
