@@ -12,9 +12,13 @@ Decode is REAL for every corpus format (round 5 closes the jpeg/mp4 stubs):
     parse, table-driven Huffman entropy decode, dequant, IDCT, YCbCr->RGB);
     the corpus encodes real JPEGs with the sibling spec-conformant encoder
   - MP4: real ISO-BMFF box-tree parse (kernels/mp4_box) — duration/dims/
-    brand from mvhd/tkhd/ftyp; the featurized "stream" is the concatenated
-    mdat codec payload.  Frame-level video DECODE (h.264 entropy) is the one
-    remaining documented stub boundary — it genuinely needs a codec library.
+    brand from mvhd/tkhd/ftyp — and a real h.264 Annex-B NAL layer inside
+    mdat (kernels/h264_nal): exp-Golomb SPS decode (profile/level/true
+    pixel dims incl. cropping), emulation-prevention unescaping, and
+    access-unit segmentation, so frame sampling digests ACTUAL frame NAL
+    spans.  The one remaining documented stub boundary is macroblock
+    RESIDUAL decode (CAVLC entropy + prediction -> pixels), which genuinely
+    needs a codec library.
 The digest-seeded deterministic stub (`QS_FAKE_DECODE=1`, default) now only
 covers mimes outside this set, keeping the plumbing testable for formats the
 container can't parse at all.
@@ -199,8 +203,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def decode_mp4_stream(payload: bytes) -> np.ndarray:
     """REAL ISO-BMFF parse (kernels/mp4_box): validates the box tree and
-    returns the concatenated mdat codec payload as the sample stream.
-    Frame-level h.264 decode is the documented remaining stub boundary."""
+    returns the concatenated mdat codec payload — the h.264 Annex-B
+    elementary stream — as the sample stream.  Macroblock residual decode
+    (stream -> pixels) is the documented remaining stub boundary; NAL
+    structure, SPS fields, and access units ARE parsed (kernels/h264_nal,
+    used by sample_frames / probe_media)."""
     from qs_spark.kernels.mp4_box import extract_mdat
 
     return np.frombuffer(extract_mdat(payload), dtype=np.uint8)
@@ -372,15 +379,24 @@ def _synth_jpeg(i: int) -> tuple[bytes, int, int]:
     return encode_jpeg(img), width, height
 
 
+MP4_FRAME_MS = 250  # synthetic corpus frame cadence (4 fps)
+
+
 def _synth_mp4(i: int) -> tuple[bytes, int, int, int]:
-    """Deterministic REAL ISO-BMFF container (ftyp+moov+mdat) with seeded
-    codec payload in mdat.  Returns (payload, width, height, duration_ms)."""
+    """Deterministic REAL ISO-BMFF container (ftyp+moov+mdat) whose mdat is
+    a structurally real h.264 Annex-B elementary stream (SPS/PPS + one
+    slice NAL per frame at MP4_FRAME_MS cadence, spec-conformant headers,
+    seeded filler residuals — kernels/h264_nal).  Returns
+    (payload, width, height, duration_ms)."""
+    from qs_spark.kernels.h264_nal import build_annexb_stream
     from qs_spark.kernels.mp4_box import build_mp4
 
     width = 64 + (i % 32) * 16
     height = 64 + (i % 24) * 16
     duration_ms = 1000 + (i % 100) * 250
-    mdat = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 13)
+    mdat = build_annexb_stream(
+        width, height, n_frames=max(1, duration_ms // MP4_FRAME_MS), seed=i
+    )
     return build_mp4(duration_ms, width, height, mdat), width, height, duration_ms
 
 
@@ -531,10 +547,23 @@ def probe_media_payload(payload: bytes, mime: str) -> dict:
                 break
             pos += 2 + ln
     elif mime == "video/mp4":
-        from qs_spark.kernels.mp4_box import parse_mp4_meta
+        from qs_spark.kernels.h264_nal import parse_h264_meta
+        from qs_spark.kernels.mp4_box import extract_mdat, parse_mp4_meta
 
         m = parse_mp4_meta(payload)
         w, h, dur = m["width"], m["height"], m["duration_ms"]
+        # cross-check container (tkhd) dims against the codec's own SPS when
+        # mdat carries a parseable h.264 stream — an inconsistent file is a
+        # probe failure, not something to silently pick a side of
+        try:
+            sps = parse_h264_meta(extract_mdat(payload))
+        except (ValueError, KeyError):
+            sps = None  # other/absent codec: container metadata stands
+        if sps is not None and (sps["width"], sps["height"]) != (w, h):
+            raise ValueError(
+                f"container/codec dims disagree: tkhd {w}x{h} vs SPS "
+                f"{sps['width']}x{sps['height']}"
+            )
     else:
         raise NotImplementedError(f"no prober for {mime}")
     return {"width": w, "height": h, "duration_ms": dur, "sample_rate": sr}
@@ -607,28 +636,76 @@ _FRAME_SCHEMA = T.StructType(
         T.StructField("media_ref", T.StringType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("au_idx", T.IntegerType()),
+        T.StructField("is_idr", T.BooleanType()),
         T.StructField("frame_digest", T.StringType()),
+        T.StructField("frame_error", T.StringType()),
     ]
 )
 
 
+def sample_frame_rows(payload: bytes, duration_ms: int, every_ms: int) -> list[dict]:
+    """Pure-python frame sampler for ONE video payload (the kernel and the
+    serial golden generator both call it, so they can never drift):
+    timestamps on the every_ms grid map to REAL access units of the h.264
+    stream inside mdat (kernels/h264_nal), and frame_digest hashes that
+    access unit's actual NAL byte span.  Pixel-level decode of the unit
+    stays the documented stub boundary.  A payload whose mdat is not a
+    parseable Annex-B stream yields the same grid with
+    au_idx/is_idr/frame_digest NULL and frame_error set (per-row isolation,
+    same contract as extract_features)."""
+    from qs_spark.kernels.h264_nal import access_units
+    from qs_spark.kernels.mp4_box import extract_mdat
+
+    dur = int(duration_ms or 0)
+    aus, err = None, None
+    try:
+        mdat = extract_mdat(payload)
+        aus = access_units(mdat)
+        if not aus:
+            raise ValueError("no access units in mdat")
+    except Exception as e:  # noqa: BLE001 — per-row isolation
+        err = f"{type(e).__name__}: {e}"[:200]
+    rows = []
+    for k, ts in enumerate(range(0, dur, every_ms)):
+        au_idx = is_idr = digest = None
+        if aus:
+            # timestamp -> access unit by uniform spacing over the container
+            # duration (the minimal moov carries no stts sample table; with
+            # one, the mapping would read it instead)
+            au_idx = min(ts * len(aus) // max(dur, 1), len(aus) - 1)
+            au = aus[au_idx]
+            is_idr = au["is_idr"]
+            digest = hashlib.sha256(mdat[au["start"] : au["end"]]).hexdigest()[:16]
+        rows.append(
+            {
+                "media_ref": None,  # caller fills
+                "frame_idx": k,
+                "ts_ms": ts,
+                "au_idx": au_idx,
+                "is_idr": is_idr,
+                "frame_digest": digest,
+                "frame_error": err,
+            }
+        )
+    return rows
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling: one row per sampled timestamp.  Frame 'decode'
-    is the stub (digest of payload+ts); the plumbing — per-video fan-out
-    inside the kernel, bounded by duration metadata — is the real shape."""
+    """Video frame sampling: one row per sampled timestamp, resolved to a
+    REAL h.264 access unit (au_idx/is_idr/frame_digest from the actual NAL
+    span — see sample_frame_rows).  Per-video fan-out happens inside the
+    kernel, bounded by duration metadata; corrupt streams isolate per row."""
     video = media.filter(F.col("mime").startswith("video/"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_ref": [], "frame_idx": [], "ts_ms": [], "frame_digest": []}
+            out = {f.name: [] for f in _FRAME_SCHEMA.fields}
             for ref, payload, meta in zip(pdf["media_ref"], pdf["payload"], pdf["meta"]):
-                dur = meta["duration_ms"] or 0
-                for k, ts in enumerate(range(0, int(dur), every_ms)):
-                    digest = hashlib.sha256(bytes(payload) + str(ts).encode()).hexdigest()[:16]
-                    out["media_ref"].append(ref)
-                    out["frame_idx"].append(k)
-                    out["ts_ms"].append(ts)
-                    out["frame_digest"].append(digest)
+                for row in sample_frame_rows(bytes(payload), meta["duration_ms"], every_ms):
+                    row["media_ref"] = ref
+                    for k, v in row.items():
+                        out[k].append(v)
             yield pd.DataFrame(out)
 
     return video.mapInPandas(kernel, _FRAME_SCHEMA)

@@ -434,3 +434,229 @@ def test_probe_media_flags_lying_metadata(spark):
     probed = probe_media(media).toPandas()
     lying = probed[probed["mime"].str.startswith(("image/", "video/"))]
     assert not lying["meta_matches"].any()
+
+
+# ------------------------------------------------------- h.264 NAL layer
+
+
+def _bits_to_bytes(bits: str) -> bytes:
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_h264_parse_sps_against_hand_assembled_spec_vector():
+    """parse_sps pinned to an INDEPENDENT vector: an SPS hand-assembled
+    bit-by-bit from ITU-T 7.3.2.1.1 (baseline, 320x240, poc_type=2, no
+    cropping) — not produced by the sibling BitWriter, so encoder and
+    parser can't share a bug."""
+    from qs_spark.kernels.h264_nal import parse_sps
+
+    bits = (
+        "01000010"  # profile_idc = 66
+        "00000000"  # constraint flags + reserved
+        "00011110"  # level_idc = 30
+        "1"          # seq_parameter_set_id ue(0)
+        "1"          # log2_max_frame_num_minus4 ue(0)
+        "011"        # pic_order_cnt_type ue(2)
+        "010"        # max_num_ref_frames ue(1)
+        "0"          # gaps_in_frame_num_value_allowed_flag
+        "000010100"  # pic_width_in_mbs_minus1 ue(19) -> 20 MBs = 320
+        "0001111"    # pic_height_in_map_units_minus1 ue(14) -> 15 MBs = 240
+        "1"          # frame_mbs_only_flag
+        "1"          # direct_8x8_inference_flag
+        "0"          # frame_cropping_flag
+        "0"          # vui_parameters_present_flag
+        "1"          # rbsp_stop_one_bit
+    )
+    sps = parse_sps(_bits_to_bytes(bits))
+    assert sps["profile_idc"] == 66 and sps["level_idc"] == 30
+    assert (sps["width"], sps["height"]) == (320, 240)
+    assert sps["log2_max_frame_num"] == 4 and sps["pic_order_cnt_type"] == 2
+
+
+def test_h264_sps_roundtrip_cropped_and_mb_aligned_dims():
+    from qs_spark.kernels.h264_nal import build_sps, parse_sps
+
+    for w, h in [(64, 64), (100, 50), (1920, 1080), (2, 2), (640, 362)]:
+        sps = parse_sps(build_sps(w, h))
+        assert (sps["width"], sps["height"]) == (w, h), (w, h, sps)
+    try:
+        build_sps(65, 64)
+        raise AssertionError("odd width must be rejected (4:2:0 crop units)")
+    except ValueError:
+        pass
+
+
+def test_h264_emulation_prevention_and_stream_walk():
+    """Escaping round-trips on adversarial byte runs, and a stream whose
+    slice filler embeds start-code-like bytes still segments into exactly
+    n_frames access units (no false NAL boundaries)."""
+    from qs_spark.kernels.h264_nal import (
+        access_units,
+        build_annexb_stream,
+        escape_rbsp,
+        parse_h264_meta,
+        unescape_rbsp,
+    )
+
+    for raw in (
+        b"\x00\x00\x00",
+        b"\x00\x00\x01",
+        b"\x00\x00\x02\x00\x00\x03\x00\x00\x00\x00\x01",
+        bytes(range(256)) + b"\x00" * 5,
+    ):
+        esc = escape_rbsp(raw)
+        assert b"\x00\x00\x01" not in esc and b"\x00\x00\x00" not in esc
+        assert unescape_rbsp(esc) == raw
+    # seeds x frame counts cover every filler tail variant incl. the
+    # embedded 0x000001 (k % 5 == 3/4 cases)
+    for seed in (0, 3, 11):
+        stream = build_annexb_stream(96, 64, 23, seed=seed)
+        meta = parse_h264_meta(stream)
+        assert meta["n_frames"] == 23, meta
+        assert meta["n_idr"] == 2  # frames 0 and 16 at idr_interval=16
+        aus = access_units(stream)
+        assert [a["frame_num"] for a in aus[:4]] == [0, 1, 2, 3]
+        # AU spans tile the slice region: adjacent, non-overlapping
+        for a, b in zip(aus, aus[1:]):
+            assert a["end"] == b["start"] > a["start"]
+
+
+def test_h264_multi_slice_frame_is_one_access_unit():
+    """A frame split into multiple slice NALs (first_mb_in_slice > 0 on the
+    continuation) must stay ONE access unit — the continuation slice is
+    hand-assembled from spec bits, since the corpus encoder emits only
+    single-slice frames."""
+    from qs_spark.kernels.h264_nal import access_units, build_annexb_stream
+
+    stream = build_annexb_stream(64, 64, 3, seed=1)
+    # slice_header bits: first_mb_in_slice ue(1)='010', slice_type ue(5)
+    # ='00110', pic_parameter_set_id ue(0)='1', frame_num u(8)=2,
+    # P-slice flags '000', qp_delta se(0)='1', stop bit '1'
+    cont = _bits_to_bytes("010" + "00110" + "1" + "00000010" + "000" + "1" + "1")
+    nal = b"\x00\x00\x00\x01" + bytes([(2 << 5) | 1]) + cont + b"\x80"
+    aus = access_units(stream + nal)  # continuation appended to frame 2
+    assert len(aus) == 3
+    assert aus[-1]["end"] == len(stream) + len(nal)
+
+
+def test_frame_sampling_digests_real_access_units(spark):
+    """Distributed sample_frames == serial sample_frame_rows, and the
+    digests are of ACTUAL access-unit byte spans of the mdat stream (IDR
+    flags follow the encoder's idr_interval cadence)."""
+    import hashlib
+
+    from qs_spark.kernels.h264_nal import access_units
+    from qs_spark.kernels.mp4_box import extract_mdat
+    from qs_spark.multimodal import sample_frame_rows
+
+    m = synth_media_df(spark, 20)
+    vids = {r.media_ref: r for r in m.filter(F.col("mime") == "video/mp4").collect()}
+    frames = sample_frames(m, every_ms=1500).toPandas()
+    assert frames.frame_error.isna().all()
+    assert set(frames.media_ref) == set(vids)
+    for ref, g in frames.groupby("media_ref"):
+        row = vids[ref]
+        serial = sample_frame_rows(bytes(row.payload), row.meta["duration_ms"], 1500)
+        got = g.sort_values("frame_idx")
+        assert list(got.au_idx) == [r["au_idx"] for r in serial]
+        assert list(got.frame_digest) == [r["frame_digest"] for r in serial]
+        mdat = extract_mdat(bytes(row.payload))
+        aus = access_units(mdat)
+        first = got.iloc[0]
+        assert bool(first.is_idr) and first.au_idx == 0
+        span = mdat[aus[0]["start"] : aus[0]["end"]]
+        assert first.frame_digest == hashlib.sha256(span).hexdigest()[:16]
+
+
+def test_frame_sampling_isolates_unparseable_stream(spark):
+    """A video whose mdat is not a parseable Annex-B stream still emits its
+    sampling grid — au/digest NULL + frame_error set — without failing the
+    task or affecting sibling rows (same isolation contract as
+    extract_features)."""
+    from qs_spark.kernels.mp4_box import build_mp4
+
+    m = synth_media_df(spark, 10).toPandas()
+    vid = m[m["mime"] == "video/mp4"].index
+    bad_ref = m.loc[vid[0], "media_ref"]
+    m.loc[vid[0], "payload"] = build_mp4(3000, 64, 64, b"\xde\xad\xbe\xef" * 8)
+    # the sampling grid is bounded by the meta COLUMN's duration (untouched
+    # here), not the replaced payload's container duration
+    expect_rows = len(range(0, int(m.loc[vid[0], "meta"]["duration_ms"]), 1000))
+    frames = sample_frames(spark.createDataFrame(m)).toPandas()
+    bad = frames[frames.media_ref == bad_ref]
+    assert len(bad) == expect_rows and bad.frame_digest.isna().all()
+    assert bad.frame_error.notna().all()
+    good = frames[frames.media_ref != bad_ref]
+    assert good.frame_error.isna().all() and good.frame_digest.notna().all()
+
+
+def test_probe_detects_container_codec_dim_mismatch():
+    """An mp4 whose tkhd dims disagree with the h.264 SPS inside mdat is an
+    inconsistent file: the probe must error, not silently pick a side."""
+    from qs_spark.kernels.h264_nal import build_annexb_stream
+    from qs_spark.kernels.mp4_box import build_mp4
+    from qs_spark.multimodal import probe_media_payload
+
+    stream = build_annexb_stream(128, 96, 4, seed=2)
+    ok = build_mp4(1000, 128, 96, stream)
+    assert probe_media_payload(ok, "video/mp4")["width"] == 128
+    lying = build_mp4(1000, 256, 96, stream)
+    try:
+        probe_media_payload(lying, "video/mp4")
+        raise AssertionError("dim mismatch must raise")
+    except ValueError as e:
+        assert "disagree" in str(e)
+
+
+def test_h264_property_corruption_never_escapes():
+    """Frozen corruption regime for the NAL layer (same contract as the
+    jpeg fuzz): arbitrary byte flips / truncations / garbage prepends of a
+    valid Annex-B stream either parse or raise a clean ValueError in
+    bounded time — and sample_frame_rows isolates every such failure into
+    frame_error rows instead of letting it escape the kernel."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qs_spark.kernels.h264_nal import access_units, parse_h264_meta
+    from qs_spark.multimodal import MP4_FRAME_MS, sample_frame_rows
+
+    base = None
+
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        seed=st.integers(0, 30),
+        n_frames=st.integers(1, 12),
+        mode=st.sampled_from(["flip", "truncate", "prepend", "slice"]),
+        pos=st.integers(0, 10_000),
+        byte=st.integers(0, 255),
+    )
+    def run(seed, n_frames, mode, pos, byte):
+        from qs_spark.kernels.h264_nal import build_annexb_stream
+        from qs_spark.kernels.mp4_box import build_mp4
+
+        stream = bytearray(build_annexb_stream(64, 48, n_frames, seed=seed))
+        if mode == "flip":
+            stream[pos % len(stream)] ^= byte or 1
+        elif mode == "truncate":
+            stream = stream[: pos % len(stream)]
+        elif mode == "prepend":
+            stream = bytes([byte]) * (pos % 7) + stream
+        else:
+            a = pos % len(stream)
+            stream = stream[a : a + 400]
+        stream = bytes(stream)
+        try:
+            meta = parse_h264_meta(stream)
+            assert 0 <= meta["n_idr"] <= meta["n_frames"] <= n_frames + 2
+            access_units(stream)
+        except ValueError:
+            pass  # clean structured failure is in-contract
+        dur = n_frames * MP4_FRAME_MS
+        rows = sample_frame_rows(build_mp4(dur, 64, 48, stream), dur, 1000)
+        assert len(rows) == len(range(0, dur, 1000))
+        for r in rows:
+            assert (r["frame_digest"] is None) == (r["frame_error"] is not None)
+
+    run()
