@@ -849,11 +849,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = extract_features(media).withColumn("embedding_e6", F.to_json(e6)).drop(
             "embedding", "decode_error"
         )
+        # r05f: the frame rows resolve to REAL h.264 access units; fold the
+        # per-frame NAL-span digests into one order-stable md5 per video (and
+        # count IDR units) so the golden oracle hash-validates the codec walk
+        # itself, not just the sampling-grid arithmetic
         frames = sample_frames(media).groupBy("media_ref").agg(
-            F.count("*").alias("n_frames"), F.max("ts_ms").alias("last_ts_ms")
+            F.count("*").alias("n_frames"),
+            F.max("ts_ms").alias("last_ts_ms"),
+            F.sum(F.col("is_idr").cast("int")).alias("n_idr"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("frame_idx", "frame_digest"))),
+                        lambda s: s.frame_digest,
+                    ),
+                ).cast("binary")
+            ).alias("frames_digest"),
         )
         return feats.join(frames, "media_ref", "left").fillna(
-            {"n_frames": 0, "last_ts_ms": -1}
+            {"n_frames": 0, "last_ts_ms": -1, "n_idr": -1, "frames_digest": ""}
         )
 
     q["x48_media_pipeline"] = x48

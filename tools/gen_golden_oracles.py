@@ -324,11 +324,12 @@ def gen_x48() -> None:
     media rows and freezes the joined output.  Embeddings are integer
     micro-units (the entry quantizes identically) so no float-format
     dependence exists."""
+    import hashlib
     import math
 
     import numpy as np
 
-    from qs_spark.multimodal import EMBED_DIM, _decode, synth_media_row
+    from qs_spark.multimodal import EMBED_DIM, _decode, sample_frame_rows, synth_media_row
 
     rows = []
     for i in range(512):
@@ -339,10 +340,18 @@ def gen_x48() -> None:
         vec = (hist / max(len(decoded), 1)).astype(np.float32)
         e6 = [int(math.floor(float(v) * 1e6 + 0.5)) for v in vec]
         if mime.startswith("video/") and duration_ms:
-            ts = list(range(0, int(duration_ms), 1000))
-            n_frames, last_ts = len(ts), ts[-1]
+            # r05f: the frame sampler resolves to real h.264 access units;
+            # fold the per-frame NAL-span digests exactly as the entry does
+            # (order-stable comma join -> md5) so the golden validates the
+            # codec walk, not just the grid arithmetic
+            frames = sample_frame_rows(payload, duration_ms, 1000)
+            n_frames, last_ts = len(frames), frames[-1]["ts_ms"]
+            n_idr = sum(1 for r in frames if r["is_idr"])
+            fdig = hashlib.md5(
+                ",".join(r["frame_digest"] for r in frames).encode()
+            ).hexdigest()
         else:
-            n_frames, last_ts = 0, -1
+            n_frames, last_ts, n_idr, fdig = 0, -1, -1, ""
         rows.append(
             (
                 sql_str(ref),
@@ -351,13 +360,17 @@ def gen_x48() -> None:
                 sql_str(json.dumps(e6, separators=(",", ":"))),
                 str(n_frames),
                 str(last_ts),
+                str(n_idr),
+                sql_str(fdig),
             )
         )
     emit(
         "x48_media_pipeline.sql",
         "media_ref, mime, CAST(n_bytes AS INT) AS n_bytes, embedding_e6,"
-        " CAST(n_frames AS BIGINT) AS n_frames, CAST(last_ts_ms AS INT) AS last_ts_ms",
-        ["media_ref", "mime", "n_bytes", "embedding_e6", "n_frames", "last_ts_ms"],
+        " CAST(n_frames AS BIGINT) AS n_frames, CAST(last_ts_ms AS INT) AS last_ts_ms,"
+        " CAST(n_idr AS BIGINT) AS n_idr, frames_digest",
+        ["media_ref", "mime", "n_bytes", "embedding_e6", "n_frames", "last_ts_ms",
+         "n_idr", "frames_digest"],
         rows,
     )
 
