@@ -849,14 +849,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = extract_features(media).withColumn("embedding_e6", F.to_json(e6)).drop(
             "embedding", "decode_error"
         )
-        # r05f: the frame rows resolve to REAL h.264 access units; fold the
-        # per-frame NAL-span digests into one order-stable md5 per video (and
-        # count IDR units) so the golden oracle hash-validates the codec walk
-        # itself, not just the sampling-grid arithmetic
+        # r05f/g: the frame rows are REAL h.264 access units PIXEL-DECODED
+        # (I_PCM reconstruction, P_Skip resolution); fold the per-frame
+        # decoded-plane digests into one order-stable md5 per video, count
+        # IDR units, and sum the integer milli-mean luma — so the golden
+        # oracle hash-validates the pixel decode itself, not just the
+        # sampling-grid arithmetic
         frames = sample_frames(media).groupBy("media_ref").agg(
             F.count("*").alias("n_frames"),
             F.max("ts_ms").alias("last_ts_ms"),
             F.sum(F.col("is_idr").cast("int")).alias("n_idr"),
+            F.sum("mean_luma_milli").alias("luma_milli_sum"),
             F.md5(
                 F.concat_ws(
                     ",",
@@ -868,7 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("frames_digest"),
         )
         return feats.join(frames, "media_ref", "left").fillna(
-            {"n_frames": 0, "last_ts_ms": -1, "n_idr": -1, "frames_digest": ""}
+            {"n_frames": 0, "last_ts_ms": -1, "n_idr": -1,
+             "luma_milli_sum": -1, "frames_digest": ""}
         )
 
     q["x48_media_pipeline"] = x48

@@ -12,13 +12,16 @@ Decode is REAL for every corpus format (round 5 closes the jpeg/mp4 stubs):
     parse, table-driven Huffman entropy decode, dequant, IDCT, YCbCr->RGB);
     the corpus encodes real JPEGs with the sibling spec-conformant encoder
   - MP4: real ISO-BMFF box-tree parse (kernels/mp4_box) — duration/dims/
-    brand from mvhd/tkhd/ftyp — and a real h.264 Annex-B NAL layer inside
-    mdat (kernels/h264_nal): exp-Golomb SPS decode (profile/level/true
-    pixel dims incl. cropping), emulation-prevention unescaping, and
-    access-unit segmentation, so frame sampling digests ACTUAL frame NAL
-    spans.  The one remaining documented stub boundary is macroblock
-    RESIDUAL decode (CAVLC entropy + prediction -> pixels), which genuinely
-    needs a codec library.
+    brand from mvhd/tkhd/ftyp — and a real h.264 layer inside mdat
+    (kernels/h264_nal): exp-Golomb SPS/PPS decode, emulation-prevention
+    unescaping, access-unit segmentation, and REAL PIXEL RECONSTRUCTION
+    of the corpus' lossless I_PCM + P_Skip coding (spec 7.3.5 raw-sample
+    macroblocks; skip frames resolve to the previous picture), so frame
+    sampling digests decoded y/cb/cr planes and video embeddings are
+    histograms of actual picture samples.  The honest remaining boundary
+    is ENTROPY-CODED residual macroblocks (CAVLC/CABAC + prediction) in
+    third-party streams — those raise NotImplementedError from the
+    decoder and surface as per-row decode_error/frame_error.
 The digest-seeded deterministic stub (`QS_FAKE_DECODE=1`, default) now only
 covers mimes outside this set, keeping the plumbing testable for formats the
 container can't parse at all.
@@ -202,15 +205,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def decode_mp4_stream(payload: bytes) -> np.ndarray:
-    """REAL ISO-BMFF parse (kernels/mp4_box): validates the box tree and
-    returns the concatenated mdat codec payload — the h.264 Annex-B
-    elementary stream — as the sample stream.  Macroblock residual decode
-    (stream -> pixels) is the documented remaining stub boundary; NAL
-    structure, SPS fields, and access units ARE parsed (kernels/h264_nal,
-    used by sample_frames / probe_media)."""
+    """REAL mp4 decode to PIXELS: ISO-BMFF box walk (kernels/mp4_box) to
+    the mdat h.264 stream, then a real pixel reconstruction of the first
+    access unit — the poster frame — via the I_PCM/P_Skip decoder
+    (kernels/h264_nal.decode_picture).  Returns the decoded y+cb+cr sample
+    stream, so video embeddings are histograms of actual picture samples,
+    same as every image format.  Entropy-coded third-party streams raise
+    NotImplementedError from the decoder (the honest remaining codec
+    boundary); extract_features turns that into a per-row decode_error."""
+    from qs_spark.kernels.h264_nal import decode_picture
     from qs_spark.kernels.mp4_box import extract_mdat
 
-    return np.frombuffer(extract_mdat(payload), dtype=np.uint8)
+    pic = decode_picture(extract_mdat(payload), 0)
+    return np.concatenate(
+        [pic["y"].ravel(), pic["cb"].ravel(), pic["cr"].ravel()]
+    )
 
 
 def _decode_real(payload: bytes, mime: str) -> np.ndarray:
@@ -639,6 +648,7 @@ _FRAME_SCHEMA = T.StructType(
         T.StructField("au_idx", T.IntegerType()),
         T.StructField("is_idr", T.BooleanType()),
         T.StructField("frame_digest", T.StringType()),
+        T.StructField("mean_luma_milli", T.IntegerType()),
         T.StructField("frame_error", T.StringType()),
     ]
 )
@@ -648,13 +658,16 @@ def sample_frame_rows(payload: bytes, duration_ms: int, every_ms: int) -> list[d
     """Pure-python frame sampler for ONE video payload (the kernel and the
     serial golden generator both call it, so they can never drift):
     timestamps on the every_ms grid map to REAL access units of the h.264
-    stream inside mdat (kernels/h264_nal), and frame_digest hashes that
-    access unit's actual NAL byte span.  Pixel-level decode of the unit
-    stays the documented stub boundary.  A payload whose mdat is not a
-    parseable Annex-B stream yields the same grid with
-    au_idx/is_idr/frame_digest NULL and frame_error set (per-row isolation,
-    same contract as extract_features)."""
-    from qs_spark.kernels.h264_nal import access_units
+    stream inside mdat (kernels/h264_nal), each sampled frame is PIXEL
+    DECODED (I_PCM reconstruction + P_Skip resolution — decode_picture),
+    and frame_digest hashes the decoded y/cb/cr planes; mean_luma_milli is
+    the integer milli-mean of the luma plane (floor(sum*1000/size), exact).
+    A payload whose mdat is not a parseable/decodable stream yields the
+    same grid with NULL frame fields and frame_error set (per-row
+    isolation, same contract as extract_features); entropy-coded
+    third-party streams land there via the decoder's NotImplementedError —
+    the honest codec boundary."""
+    from qs_spark.kernels.h264_nal import access_units, decode_picture
     from qs_spark.kernels.mp4_box import extract_mdat
 
     dur = int(duration_ms or 0)
@@ -666,17 +679,35 @@ def sample_frame_rows(payload: bytes, duration_ms: int, every_ms: int) -> list[d
             raise ValueError("no access units in mdat")
     except Exception as e:  # noqa: BLE001 — per-row isolation
         err = f"{type(e).__name__}: {e}"[:200]
+    # frames between consecutive IDRs are bit-exact repeats (all-skip P):
+    # decoded pixels cache per governing IDR (idr_cache) and so do their
+    # digests (stat_cache); the P_Skip chain is still VERIFIED per sampled
+    # frame (decode_picture walks it)
+    idr_cache: dict = {}
+    stat_cache: dict[int, tuple[str, int]] = {}
     rows = []
     for k, ts in enumerate(range(0, dur, every_ms)):
-        au_idx = is_idr = digest = None
+        au_idx = is_idr = digest = mean_luma = None
+        row_err = err
         if aus:
             # timestamp -> access unit by uniform spacing over the container
             # duration (the minimal moov carries no stts sample table; with
             # one, the mapping would read it instead)
             au_idx = min(ts * len(aus) // max(dur, 1), len(aus) - 1)
-            au = aus[au_idx]
-            is_idr = au["is_idr"]
-            digest = hashlib.sha256(mdat[au["start"] : au["end"]]).hexdigest()[:16]
+            is_idr = aus[au_idx]["is_idr"]
+            try:
+                pic = decode_picture(mdat, au_idx, aus, idr_cache=idr_cache)
+                hit = stat_cache.get(pic["idr_au_idx"])
+                if hit is None:
+                    y = pic["y"]
+                    h = hashlib.sha256(
+                        y.tobytes() + pic["cb"].tobytes() + pic["cr"].tobytes()
+                    ).hexdigest()[:16]
+                    hit = (h, int(y.sum()) * 1000 // max(y.size, 1))
+                    stat_cache[pic["idr_au_idx"]] = hit
+                digest, mean_luma = hit
+            except Exception as e:  # noqa: BLE001 — per-row isolation
+                row_err = f"{type(e).__name__}: {e}"[:200]
         rows.append(
             {
                 "media_ref": None,  # caller fills
@@ -685,7 +716,8 @@ def sample_frame_rows(payload: bytes, duration_ms: int, every_ms: int) -> list[d
                 "au_idx": au_idx,
                 "is_idr": is_idr,
                 "frame_digest": digest,
-                "frame_error": err,
+                "mean_luma_milli": mean_luma,
+                "frame_error": row_err,
             }
         )
     return rows

@@ -540,13 +540,16 @@ def test_h264_multi_slice_frame_is_one_access_unit():
     assert aus[-1]["end"] == len(stream) + len(nal)
 
 
-def test_frame_sampling_digests_real_access_units(spark):
+def test_frame_sampling_digests_real_decoded_pixels(spark):
     """Distributed sample_frames == serial sample_frame_rows, and the
-    digests are of ACTUAL access-unit byte spans of the mdat stream (IDR
-    flags follow the encoder's idr_interval cadence)."""
+    digests are of the DECODED y/cb/cr planes (real I_PCM pixel
+    reconstruction — cross-checked against decode_picture run here, and
+    against the synthetic source picture the encoder coded)."""
     import hashlib
 
-    from qs_spark.kernels.h264_nal import access_units
+    import numpy as np
+
+    from qs_spark.kernels.h264_nal import decode_picture, synth_frame_planes
     from qs_spark.kernels.mp4_box import extract_mdat
     from qs_spark.multimodal import sample_frame_rows
 
@@ -561,12 +564,21 @@ def test_frame_sampling_digests_real_access_units(spark):
         got = g.sort_values("frame_idx")
         assert list(got.au_idx) == [r["au_idx"] for r in serial]
         assert list(got.frame_digest) == [r["frame_digest"] for r in serial]
-        mdat = extract_mdat(bytes(row.payload))
-        aus = access_units(mdat)
+        assert list(got.mean_luma_milli) == [r["mean_luma_milli"] for r in serial]
         first = got.iloc[0]
         assert bool(first.is_idr) and first.au_idx == 0
-        span = mdat[aus[0]["start"] : aus[0]["end"]]
-        assert first.frame_digest == hashlib.sha256(span).hexdigest()[:16]
+        pic = decode_picture(extract_mdat(bytes(row.payload)), 0)
+        assert first.frame_digest == hashlib.sha256(
+            pic["y"].tobytes() + pic["cb"].tobytes() + pic["cr"].tobytes()
+        ).hexdigest()[:16]
+        # ...and the decoded planes ARE the synthetic source picture: the
+        # encode->decode chain is lossless end to end through the container
+        i = int(ref.rsplit("/", 1)[1])
+        w, h = row.meta["width"], row.meta["height"]
+        y, cb, cr = synth_frame_planes(w, h, i, 0)
+        assert np.array_equal(pic["y"], y)
+        assert np.array_equal(pic["cb"], cb) and np.array_equal(pic["cr"], cr)
+        assert first.mean_luma_milli == int(y.sum()) * 1000 // y.size
 
 
 def test_frame_sampling_isolates_unparseable_stream(spark):
@@ -607,6 +619,117 @@ def test_probe_detects_container_codec_dim_mismatch():
         raise AssertionError("dim mismatch must raise")
     except ValueError as e:
         assert "disagree" in str(e)
+
+
+def test_h264_ipcm_pixel_roundtrip_exact():
+    """The r05g boundary close: decode(encode(picture)) is EXACT for every
+    frame — IDR frames reconstruct from raw I_PCM samples, P frames resolve
+    through the verified all-skip chain to their governing IDR — including
+    cropped (non-MB-multiple) dims."""
+    import numpy as np
+
+    from qs_spark.kernels.h264_nal import (
+        access_units,
+        build_annexb_stream,
+        decode_picture,
+        synth_frame_planes,
+    )
+
+    for w, h, nf, seed in [(64, 48, 5, 3), (70, 36, 23, 0), (16, 16, 1, 1), (100, 50, 40, 5)]:
+        s = build_annexb_stream(w, h, nf, seed=seed)
+        aus = access_units(s)
+        cache: dict = {}
+        for idx in sorted({0, nf // 2, nf - 1}):
+            pic = decode_picture(s, idx, aus, idr_cache=cache)
+            y, cb, cr = synth_frame_planes(w, h, seed, idx // 16)
+            assert np.array_equal(pic["y"], y), (w, h, idx)
+            assert np.array_equal(pic["cb"], cb) and np.array_equal(pic["cr"], cr)
+            assert pic["idr_au_idx"] == (idx // 16) * 16
+            assert pic["is_idr"] == (idx % 16 == 0)
+
+
+def test_h264_decoder_honest_boundaries():
+    """The decoder REFUSES what it cannot truly decode: CABAC streams,
+    entropy-coded macroblocks, and non-skip P residuals all raise
+    NotImplementedError (never silently wrong pixels)."""
+    import pytest
+
+    from qs_spark.kernels.h264_nal import (
+        BitWriter,
+        NAL_IDR,
+        NAL_PPS,
+        NAL_SLICE,
+        NAL_SPS,
+        _nal,
+        _slice_header,
+        build_annexb_stream,
+        build_pps,
+        build_sps,
+        decode_picture,
+    )
+
+    # CABAC PPS: entropy_coding_mode_flag=1
+    w = BitWriter()
+    w.ue(0); w.ue(0); w.u(1, 1); w.u(1, 0); w.ue(0); w.ue(0); w.ue(0)
+    w.u(1, 0); w.u(2, 0); w.se(0); w.se(0); w.se(0); w.u(1, 0); w.u(1, 0); w.u(1, 0)
+    w.rbsp_trailing()
+    sps = build_sps(32, 32)
+    hdr = _slice_header(True, 0, 8, 0)
+    hdr.ue(25)
+    hdr.align_zero()
+    hdr.raw_bytes(b"\x80" * 384)
+    hdr.rbsp_trailing()
+    cabac = _nal(3, NAL_SPS, sps) + _nal(3, NAL_PPS, w.bytes()) + _nal(3, NAL_IDR, hdr.bytes())
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        decode_picture(cabac, 0)
+
+    # entropy-coded I macroblock (mb_type != 25, e.g. I_16x16 variants)
+    bad = _slice_header(True, 0, 8, 0)
+    bad.ue(3)  # an I_16x16 mb_type: needs real residual decode
+    bad.u(8, 0xAA)
+    bad.rbsp_trailing()
+    ent = _nal(3, NAL_SPS, sps) + _nal(3, NAL_PPS, build_pps()) + _nal(3, NAL_IDR, bad.bytes())
+    with pytest.raises(NotImplementedError, match="entropy-coded"):
+        decode_picture(ent, 0)
+
+    # non-skip P frame: skip run covers half the picture then real data
+    stream = build_annexb_stream(32, 32, 1, seed=0)
+    p = _slice_header(False, 1, 8, 0)
+    p.ue(1)  # skips 1 of 4 MBs
+    p.u(16, 0xBEEF)  # then "coded macroblock" bits
+    p.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="non-skip"):
+        decode_picture(stream + _nal(2, NAL_SLICE, p.bytes()), 1)
+
+
+def test_h264_escape_fast_paths_match_reference():
+    """The find()/re-based emulation-prevention codecs (the C-speed paths
+    I_PCM-sized NALs need) are bit-equivalent to the spec byte-walkers on
+    arbitrary bytes — including adversarial zero/one/three runs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from qs_spark.kernels.h264_nal import (
+        _escape_rbsp_ref,
+        _unescape_rbsp_ref,
+        escape_rbsp,
+        unescape_rbsp,
+    )
+
+    adversarial = st.lists(
+        st.sampled_from([0, 0, 0, 1, 2, 3, 0x80, 0xFF]), max_size=64
+    ).map(bytes)
+    anybytes = st.binary(max_size=64)
+
+    @settings(max_examples=400, deadline=None)
+    @given(raw=st.one_of(adversarial, anybytes))
+    def run(raw):
+        esc = escape_rbsp(raw)
+        assert esc == _escape_rbsp_ref(raw)
+        assert unescape_rbsp(esc) == raw
+        assert unescape_rbsp(raw) == _unescape_rbsp_ref(raw)
+
+    run()
 
 
 def test_h264_property_corruption_never_escapes():

@@ -340,18 +340,20 @@ def gen_x48() -> None:
         vec = (hist / max(len(decoded), 1)).astype(np.float32)
         e6 = [int(math.floor(float(v) * 1e6 + 0.5)) for v in vec]
         if mime.startswith("video/") and duration_ms:
-            # r05f: the frame sampler resolves to real h.264 access units;
-            # fold the per-frame NAL-span digests exactly as the entry does
-            # (order-stable comma join -> md5) so the golden validates the
-            # codec walk, not just the grid arithmetic
+            # r05f/g: the frame sampler pixel-decodes real h.264 access
+            # units; fold the per-frame decoded-plane digests exactly as the
+            # entry does (order-stable comma join -> md5) plus the IDR count
+            # and milli-mean-luma sum, so the golden validates the PIXEL
+            # decode, not just the grid arithmetic
             frames = sample_frame_rows(payload, duration_ms, 1000)
             n_frames, last_ts = len(frames), frames[-1]["ts_ms"]
             n_idr = sum(1 for r in frames if r["is_idr"])
+            luma = sum(r["mean_luma_milli"] for r in frames)
             fdig = hashlib.md5(
                 ",".join(r["frame_digest"] for r in frames).encode()
             ).hexdigest()
         else:
-            n_frames, last_ts, n_idr, fdig = 0, -1, -1, ""
+            n_frames, last_ts, n_idr, luma, fdig = 0, -1, -1, -1, ""
         rows.append(
             (
                 sql_str(ref),
@@ -361,6 +363,7 @@ def gen_x48() -> None:
                 str(n_frames),
                 str(last_ts),
                 str(n_idr),
+                str(luma),
                 sql_str(fdig),
             )
         )
@@ -368,9 +371,10 @@ def gen_x48() -> None:
         "x48_media_pipeline.sql",
         "media_ref, mime, CAST(n_bytes AS INT) AS n_bytes, embedding_e6,"
         " CAST(n_frames AS BIGINT) AS n_frames, CAST(last_ts_ms AS INT) AS last_ts_ms,"
-        " CAST(n_idr AS BIGINT) AS n_idr, frames_digest",
+        " CAST(n_idr AS BIGINT) AS n_idr, CAST(luma_milli_sum AS BIGINT)"
+        " AS luma_milli_sum, frames_digest",
         ["media_ref", "mime", "n_bytes", "embedding_e6", "n_frames", "last_ts_ms",
-         "n_idr", "frames_digest"],
+         "n_idr", "luma_milli_sum", "frames_digest"],
         rows,
     )
 
