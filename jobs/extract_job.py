@@ -9,9 +9,15 @@ run at N and 4N executors):
         --conf spark.sql.execution.arrow.pyspark.enabled=true \\
         --num-executors $N --executor-cores 4 \\
         jobs/extract_job.py \\
-        --input  <iceberg-or-parquet docs table> \\
-        --output <warehouse dir> \\
+        --input  <parquet path | table:lake.qs.documents> \\
+        --output <warehouse dir | iceberg://lake/qs> \\
         --run-id r-$(date +%s) [--n-buckets 256] [--chunk-size 102400]
+
+With --output iceberg://<catalog>/<namespace> the spans + checkpoint
+tables are managed through IcebergCatalog (MERGE INTO lineage, DELETE FROM
+cascade, rewrite_data_files compaction) — requires iceberg-spark-runtime
+on the cluster (--packages) and the spark.sql.catalog.<catalog> conf; the
+default filesystem output uses the same-surface ParquetCatalog.
 
 Parallelism-independent output: buckets are a pure function of doc_id, the
 span order is assigned per-doc inside kernels — the same input yields
@@ -68,12 +74,14 @@ def main(argv=None) -> int:
 
         spark = SparkSession.builder.appName("qs_extract_job").getOrCreate()
 
-    from qs_spark.catalog import ParquetCatalog
+    from qs_spark.catalog import get_catalog
     from qs_spark.checkpoint import run_extract_checkpointed
     from qs_spark.corpus import corpus_parquet
 
     if args.synthetic:
         docs = corpus_parquet(spark, args.synthetic, path=args.corpus_path)
+    elif args.input and args.input.startswith("table:"):
+        docs = spark.table(args.input[len("table:"):])  # Iceberg/catalog table
     elif args.input:
         docs = spark.read.parquet(args.input)
     else:
@@ -86,7 +94,7 @@ def main(argv=None) -> int:
     if split:
         print(f"scan split: {split} bytes", file=sys.stderr)
 
-    cat = ParquetCatalog(args.output)
+    cat = get_catalog(spark, args.output)
     spans = run_extract_checkpointed(
         spark,
         docs,
