@@ -155,3 +155,21 @@ def test_iceberg_roundtrip_when_runtime_present(spark, tmp_path):
     assert sorted(r.k for r in cat.read(spark, "t").collect()) == [2, 3]
     cat.compact(spark, "t")
     assert cat.read(spark, "t").count() == 2
+
+
+def test_identifier_quoting_property():
+    """Any identifier (incl. embedded backticks) survives quoting: the SQL
+    builders must never emit an unquoted or half-quoted name."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(min_size=1, max_size=20).filter(lambda s: "\x00" not in s))
+    def check(name):
+        q = qualified_name("c", "n", name)
+        inner = q.split(".", 2)[2]
+        assert inner.startswith("`") and inner.endswith("`")
+        # unescaped backtick count inside must be even (all doubled)
+        body = inner[1:-1]
+        assert body.replace("``", "") == name.replace("`", "")
+
+    check()
