@@ -256,8 +256,21 @@ def main_bench() -> None:
     trials: dict[str, list[float]] = {}
     trial_steal: dict[str, list[float]] = {}
     queries_calm: dict[str, float | None] = {}
+    sync_waits: list[float] = []
     steal0, total0 = _cpu_stat()
     for name in HEADLINE:
+        # Drain pending writeback before each query group (UNTIMED): every
+        # extract trial rewrites the ~store-sized /tmp corpus+store, and on a
+        # one-disk box the kernel flushes those dirty pages DURING the next
+        # query's timed region — measured: search read 2.1-10.0 s inside a
+        # suite (trials right after extract's five store rewrites) vs a
+        # stable 1.3-1.6 s standalone at the same ~0.1% steal.  Cross-query
+        # interference is a harness sequencing artifact (real clusters don't
+        # run the suite back-to-back on one spindle); each query's own
+        # writes still flush inside its own timed region as before.
+        t_sync = time.time()
+        os.sync()
+        sync_waits.append(round(time.time() - t_sync, 3))
         secs: list[float] = []
         steals: list[float] = []
         last: dict = {}
@@ -325,6 +338,9 @@ def main_bench() -> None:
         # md5 yet deliver a fraction of calm memory bandwidth (observed,
         # BASELINE.md round-5c), and extract alone inflates
         "hw_mem_per_proc": round(_mem_control(CPUS) / CPUS, 1),
+        # untimed writeback drains between query groups (see loop comment);
+        # a large figure = the previous group left that much flush debt
+        "sync_wait_sec": sync_waits,
         **extras,
     }
     print(json.dumps(out))

@@ -400,6 +400,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[(cls, tid)] = _HuffTable(bits, vals)
                 b += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit precision")
@@ -411,6 +413,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             if frame is None:

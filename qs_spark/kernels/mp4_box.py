@@ -108,9 +108,11 @@ def parse_mp4_meta(payload: bytes) -> dict:
             version = payload[b0]
             if version == 0:
                 ts, dur = struct.unpack_from(">II", payload, b0 + 12)
-            else:  # version 1: 64-bit times
+            elif b1 - b0 >= 32:  # version 1: 64-bit times need a longer body
                 ts = struct.unpack_from(">I", payload, b0 + 20)[0]
                 dur = struct.unpack_from(">Q", payload, b0 + 24)[0]
+            else:
+                continue  # malformed v1 mvhd: too short for its own fields
             meta["timescale"] = ts
             if ts:
                 meta["duration_ms"] = int(dur * 1000 // ts)
