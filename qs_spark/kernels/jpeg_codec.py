@@ -288,16 +288,33 @@ class _BitReader:
     """Entropy-segment reader: unstuffs 0xFF00, stops at markers (leaving
     position ON the 0xFF) and reports restart markers to the caller."""
 
+    # Bound on zero bytes synthesized past the real entropy data.  A valid
+    # stream holds every bit of every block (the encoder byte-aligns after
+    # the last one), so a legitimate decode only ever pads the reader's
+    # <=32-bit prefetch plus a marker-stop byte per final fill.  Without the
+    # cap, a corrupt SOF claiming huge dimensions decodes millions of
+    # MCUs from synthesized zeros — the all-zero code is usually a VALID
+    # Huffman symbol, so nothing else stops it (found by the corruption
+    # fuzz as a multi-minute near-hang on a 1 KB payload).
+    _MAX_PAD = 64
+
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.pad = 0  # synthesized bytes beyond the real data/marker
+
+    def _bump_pad(self) -> None:
+        self.pad += 1
+        if self.pad > self._MAX_PAD:
+            raise ValueError("entropy stream exhausted before image complete")
 
     def _fill(self) -> None:
         d = self.data
         while self.nbits <= 24:
             if self.pos >= len(d):
+                self._bump_pad()
                 self.acc = (self.acc << 8) | 0
                 self.nbits += 8
                 continue
@@ -317,12 +334,18 @@ class _BitReader:
             self.acc = (self.acc << 8) | byte
             self.nbits += 8
         if self.nbits <= 24:  # hit a marker: zero-pad so reads can finish
+            self._bump_pad()
             self.acc <<= 8
             self.nbits += 8
 
     def bits(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 16:  # baseline reads <=16 bits (Huffman code / <=11-bit value);
+            # a corrupt DHT can map a symbol to size 255, and _fill tops out
+            # at 32 buffered bits so the refill loop would never terminate
+            # (found by the corruption fuzz as an infinite loop)
+            raise ValueError(f"oversized bit read ({n}) in entropy stream")
         while self.nbits < n:
             self._fill()
         v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
@@ -408,7 +431,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+                sh, sv = samp >> 4, samp & 0xF
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):  # spec range; 0 would
+                    # divide-by-zero in the MCU geometry (corruption fuzz)
+                    raise ValueError(f"invalid sampling factors {sh}x{sv}")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")

@@ -98,14 +98,24 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 34:
+        raise ValueError("truncated BMP header")
     pixel_off = struct.unpack_from("<I", payload, 10)[0]
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     comp = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or comp != 0:
         raise NotImplementedError(f"bmp bpp={bpp} compression={comp}")
+    # O(1) geometry validation (corruption fuzz): a sign-flipped width makes
+    # frombuffer's count negative, which numpy reads as "the whole buffer" —
+    # silently wrong rows — and width=0 with a huge |height| loops forever on
+    # empty reads.  Bound the full pixel region against the payload instead.
+    if width <= 0 or height == 0:
+        raise ValueError(f"bmp dimensions {width}x{height}")
     row_bytes = width * 3
     stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    if pixel_off + (abs(height) - 1) * stride + row_bytes > len(payload):
+        raise ValueError("BMP pixel data out of bounds")
     rows = [
         np.frombuffer(payload, dtype=np.uint8, count=row_bytes, offset=pixel_off + r * stride)
         for r in range(abs(height))
@@ -139,7 +149,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         data = payload[pos + 8 : pos + 8 + ln]
         pos += 12 + ln  # length + type + data + crc
         if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:  # fuzz: truncation must not leak struct.error
+                raise ValueError("truncated IHDR chunk")
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":

@@ -338,6 +338,66 @@ def test_jpeg_property_roundtrip_and_corruption():
     corrupt()
 
 
+def test_decoder_corruption_property_all_formats():
+    """The jpeg corruption regime, extended to the other four real decoders
+    (it caught a live struct.error in the jpeg SOF path): single-byte flips
+    and truncations of a valid payload either decode or raise from a
+    CONTROLLED exception set in bounded time — never a raw struct.error
+    (unvalidated parsing), never a hang, and never an output blow-up (the
+    bmp sign-flip class: numpy reads a negative frombuffer count as 'the
+    whole buffer', so a flipped width silently multiplied the output by
+    |height| before the geometry guard existed).  stdlib-deliberate errors
+    (wave.Error, EOFError, zlib.error) are part of each parser's contract."""
+    import time
+    import wave
+    import zlib
+
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qs_spark.multimodal import (
+        _synth_bmp,
+        _synth_mp4,
+        _synth_png,
+        _synth_wav,
+        decode_bmp,
+        decode_mp4_stream,
+        decode_png,
+        decode_wav,
+    )
+
+    base_ok = (ValueError, IndexError, KeyError, NotImplementedError)
+    cases = {
+        "wav": (_synth_wav(3)[0], decode_wav, base_ok + (wave.Error, EOFError)),
+        "bmp": (_synth_bmp(3)[0], decode_bmp, base_ok),
+        "png": (_synth_png(3)[0], decode_png, base_ok + (zlib.error,)),
+        "mp4": (_synth_mp4(3)[0], decode_mp4_stream, base_ok),
+    }
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(fmt=st.sampled_from(sorted(cases)), pos_frac=st.floats(0, 1),
+           b=st.integers(0, 255), trunc=st.booleans())
+    def corrupt(fmt, pos_frac, b, trunc):
+        payload, dec, ok_classes = cases[fmt]
+        buf = bytearray(payload)
+        p = min(len(buf) - 1, int(pos_frac * len(buf)))
+        buf = buf[:p] if trunc else (buf[:p] + bytes([b]) + buf[p + 1:])
+        t0 = time.time()
+        try:
+            out = dec(bytes(buf))
+            # a successful decode of a same-sized payload must stay
+            # same-order-of-magnitude (catches the silent-blow-up class;
+            # png may legitimately inflate up to zlib's ~1032x ratio)
+            assert np.asarray(out).size <= 2048 * max(len(buf), 1), fmt
+        except ok_classes:
+            pass
+        assert time.time() - t0 < 10, fmt
+
+    corrupt()
+
+
 def test_jpeg_roundtrip_bounded_by_quantization():
     import numpy as np
 
