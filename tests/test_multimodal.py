@@ -398,6 +398,48 @@ def test_decoder_corruption_property_all_formats():
     corrupt()
 
 
+def test_jpeg_corrupt_sof_dims_terminate():
+    """Regression: corrupt SOF dimensions made the MCU loop decode millions
+    of blocks from the bit reader's synthesized zero-padding (multi-minute
+    near-hang on a 1 KB payload; the all-zero Huffman code is usually a
+    VALID symbol, so nothing else stopped it — found by the corruption
+    fuzz).  The pad cap must turn this into a fast ValueError: patch a valid
+    stream's SOF height/width to 4096x4096 (262,144 claimed MCUs vs ~500
+    real entropy bytes) and decode."""
+    import time
+
+    import numpy as np
+    import pytest
+
+    from qs_spark.kernels.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    buf = bytearray(encode_jpeg(rng.integers(0, 256, (16, 16), np.uint8)))
+    sof = buf.find(b"\xff\xc0")
+    assert sof > 0
+    buf[sof + 5 : sof + 9] = b"\x10\x00\x10\x00"  # h=w=4096
+    t0 = time.time()
+    with pytest.raises(ValueError, match="exhausted|oversized|Huffman"):
+        decode_jpeg(bytes(buf))
+    assert time.time() - t0 < 5
+
+    # unit pins for the two guards themselves (the decode path above stops
+    # on whichever guard the image's own Huffman tables reach first):
+    # 1. the pad cap — reading past the real data must raise, not zero-pad
+    #    forever (the hang's mechanism: a table where all-zero IS valid)
+    from qs_spark.kernels.jpeg_codec import _BitReader
+
+    br = _BitReader(b"\xa5\x5a", 0)
+    with pytest.raises(ValueError, match="exhausted"):
+        for _ in range(10_000):
+            br.bits(8)
+    # 2. oversized reads — a corrupt DHT can map a symbol to size 255, and
+    #    the refill loop tops out at 32 buffered bits, so bits(255) would
+    #    never terminate without the guard
+    with pytest.raises(ValueError, match="oversized"):
+        _BitReader(b"\xff\x00" * 64, 0).bits(17)
+
+
 def test_jpeg_roundtrip_bounded_by_quantization():
     import numpy as np
 
