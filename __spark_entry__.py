@@ -702,8 +702,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ws_tokens").cast("long").alias("n_tokens"),
             F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("_s"),
         )
+        # pack_id is cast to double to land in pandas exactly as the oracle's
+        # does: DuckDB's windowed sum(BIGINT) yields HUGEINT, which fetchdf
+        # materializes as float64 (the r05 driver red row — rows/schema
+        # matched, the value hash saw 237.0 vs 237).  The oracle SQL text is
+        # frozen, so the engine aligns its dtype; the packing VALUES are
+        # unchanged and integer-exact in float64.
         return X.pack_sequences(toks, budget=64, shard_col="_s").select(
-            "doc_id", "n_tokens", "pack_id", "oversize"
+            "doc_id",
+            "n_tokens",
+            F.col("pack_id").cast("double").alias("pack_id"),
+            "oversize",
         )
 
     q["q66_pack_sequences"] = q66

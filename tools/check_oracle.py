@@ -40,6 +40,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """The driver hashes VALUES as they land in pandas, so an int64 column on
+    one side vs float64 on the other (DuckDB HUGEINT -> float64 is the classic
+    producer: windowed sum(BIGINT), count(*) arithmetic) fails its hash even
+    when canon()-coerced values agree.  r05's q66 red row shipped because the
+    mirror coerced before comparing (VERDICT r05 #2) — this check makes the
+    mirror as strict as the driver: numeric KIND (int vs float) must agree
+    per column."""
+    bad = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        # normalize pandas nullable ints (kind 'i' either way via .numpy_dtype)
+        if {sk, ok} <= {"i", "u"}:
+            continue
+        if sk != ok and {sk, ok} & {"i", "u", "f"}:
+            bad.append(f"col {c}: spark {sdf[c].dtype} vs oracle {odf[c].dtype}")
+    return bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     filters = sys.argv[2:]
@@ -78,8 +97,11 @@ def main():
             continue
         a, b = canon(sdf), canon(odf)
         status = "ok"
+        dt_bad = dtype_mismatches(sdf[sorted(sdf.columns)], odf[sorted(odf.columns)])
         if list(a.columns) != list(b.columns):
             status = f"COLUMN MISMATCH {list(a.columns)} vs {list(b.columns)}"
+        elif dt_bad:
+            status = "DTYPE (driver hash would differ): " + "; ".join(dt_bad)
         elif len(a) != len(b):
             status = f"ROWCOUNT {len(a)} vs {len(b)}"
         else:
