@@ -178,9 +178,59 @@ def search_phases():
     spark.stop()
 
 
+def plans(tag: str):
+    """Dump .explain('formatted') for the headline query paths to
+    plans/r06/<name>_<tag>.txt (tag: 'before' / 'after')."""
+    from qs_spark import search as S
+    from qs_spark import textops as X
+    from qs_spark.corpus import corpus_parquet
+    from qs_spark.extract import extract_spans_native
+    from qs_spark.session import get_spark
+    from qs_spark.store import build_store
+
+    spark = get_spark("bx_plans", cores=8, shuffle_partitions=16)
+    os.makedirs("plans/r06", exist_ok=True)
+
+    def dump(name, df):
+        p = f"plans/r06/{name}_{tag}.txt"
+        with open(p, "w") as f:
+            f.write(df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted")))
+        print("wrote", p)
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 20
+    input_df = corpus_parquet(spark, n_docs)
+    tp = input_df.inputFiles()[0].split("/size_class=")[0].replace("file://", "")
+    dump("extract_store", build_store(extract_spans_native(spark, tp)))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dump("dedup_lsh", X.lsh_candidate_pairs(docs))
+    dump("dedup_cluster", X.near_dup_clusters(docs, jaccard_threshold=0.8))
+    if os.path.isdir("/tmp/qs_bench_store"):
+        store = spark.read.parquet("/tmp/qs_bench_store")
+        dump("search_scan", S.search_rank(store, "spark join window"))
+        if os.path.isdir("/tmp/qs_bench_postings"):
+            dump(
+                "search_idx",
+                S.search_rank(
+                    store, "spark join window",
+                    postings_path="/tmp/qs_bench_postings",
+                ),
+            )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from pyspark.sql import functions as F
+    qvec = [float(x) for x in emb.first().embedding]
+    emb_d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    dump("ann_topk", X.ann_bruteforce(emb_d, qvec, k=10))
+    spark.stop()
+
+
 if __name__ == "__main__":
     {
         "extract_phases": extract_phases,
         "dedup_phases": dedup_phases,
         "search_phases": search_phases,
+        "plans": lambda: plans(sys.argv[2] if len(sys.argv) > 2 else "before"),
     }[sys.argv[1]]()

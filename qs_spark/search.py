@@ -206,21 +206,39 @@ def lookup_postings(spark, path: str, terms: list[str], n_buckets: int = POSTING
     )
 
 
-def _match_rows_or(store: DataFrame, terms: list[str]) -> DataFrame:
-    """OR retrieval (or_query, inverted_index_retiver.py:66-74): rows whose
-    token set intersects the query terms.  Expressed as an array-overlap scan
-    (no shuffle); the postings-join variant is or_search_postings."""
-    return with_tokens(store).filter(
-        F.arrays_overlap("tokens", F.array(*[F.lit(t) for t in terms]))
+def _word_hit(text_col, terms: list[str]):
+    """Predicate: any of `terms` occurs in `text_col` as a WHOLE token, where
+    tokens are maximal [a-z0-9] runs (exactly tokens_col's tokenization —
+    term ∈ tokens ⟺ the term occurs with a non-alnum char or string boundary
+    on both sides).  One regex find per row replaces the r05 shape
+    (regexp_replace whole-text rewrite + split + array build + overlap),
+    which allocated three intermediates per row just to answer a boolean;
+    the find also early-exits on the first hit (guide §2.3: make the scan
+    predicate cheap).  Terms come from normalize_query, so they are
+    lowercase-alnum only — no regex metacharacters can reach the pattern."""
+    assert all(t.isalnum() for t in terms), terms
+    return F.col(text_col).rlike(
+        "(^|[^a-z0-9])(" + "|".join(terms) + ")([^a-z0-9]|$)"
     )
 
 
+def _match_rows_or(store: DataFrame, terms: list[str]) -> DataFrame:
+    """OR retrieval (or_query, inverted_index_retiver.py:66-74): rows whose
+    token set intersects the query terms.  Expressed as a single word-boundary
+    regex find over the raw text (no shuffle; see _word_hit — result-identical
+    to the former arrays_overlap-on-tokens form, plan-verified: the store scan
+    now carries NO per-row tokenize).  tokens stays available to downstream
+    consumers (previews) and is computed only for MATCHING rows."""
+    return with_tokens(store.filter(_word_hit("text", terms)))
+
+
 def _match_rows_and(store: DataFrame, terms: list[str]) -> DataFrame:
-    """AND retrieval (and_query, inverted_index_retiver.py:56-64)."""
-    df = with_tokens(store)
+    """AND retrieval (and_query, inverted_index_retiver.py:56-64): one
+    word-boundary regex find per term (see _word_hit) instead of per-term
+    array_contains over a materialized token array."""
     for t in terms:
-        df = df.filter(F.array_contains("tokens", t))
-    return df
+        store = store.filter(_word_hit("text", [t]))
+    return with_tokens(store)
 
 
 def or_search_postings(postings: DataFrame, terms: list[str]) -> DataFrame:
@@ -434,7 +452,10 @@ def text_search_scored(store: DataFrame, terms: list[str]) -> DataFrame:
     file -> sigmoid -> threshold on the RAW score (the reference thresholds
     `score`, not the sigmoid) -> project relavence_score.
     """
-    df = with_tokens(store)
+    # cheap word-boundary prefilter first: score >= CUTOFF ⟺ tf >= 1 ⟺ some
+    # term occurs as a whole token, so non-matching rows skip the tokenize
+    # entirely (result-identical; the tf count below is unchanged)
+    df = with_tokens(store.filter(_word_hit("text", terms)))
     term_arr = F.array(*[F.lit(t) for t in terms])
     tf = F.size(F.filter("tokens", lambda x: F.array_contains(term_arr, x)))
     scored = df.withColumn("score", 3.0 * tf).filter(F.col("score") >= CUTOFF)

@@ -64,6 +64,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4 routes lower()/upper() under UTF8_BINARY through the ICU
+        # library (spark.sql.icu.caseMappings.enabled defaults true).  Thread
+        # dumps of the extract bench showed EVERY first-wave task pinned in
+        # CollationSupport$Lower.execBinaryICU — ICU's case-map tables
+        # initialize under contention on a cold JVM (~7 s wall across 32
+        # task threads, recurring per bench subprocess) and the per-char
+        # mapping stays slower afterwards.  The JVM path is
+        # semantics-identical for this engine's data (full oracle sweep +
+        # golden suite green with the flag off; the DuckDB oracles pin
+        # lowercase outputs byte-for-byte), so we pin the JVM path.
+        # Measured: fresh-session extract 12.7-21.4 s -> 6.7 s first run,
+        # 4.3 s steady (sf0.1, local[32]).  lower() rides every hot path
+        # here: store F2, norm_text (all dedup sketches), token explodes.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         # extraction rows are fat and the kernel is CPU-heavy: a 128 MB scan
         # split is far too coarse (a bucketed input collapses to a handful of
         # tasks and the job runs in 1.x waves).  4 MB max + 4 MB open cost =
