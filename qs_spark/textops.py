@@ -213,9 +213,30 @@ def _sketches_impl(docs: DataFrame, k: int, n: int, with_fp: bool) -> DataFrame:
     # budget of ~0.2 s).  Spread the slim (doc_id, text) projection over the
     # session's parallelism first; the shuffle moves only what the kernel
     # needs.  At 100 TB the scan has plenty of splits and this is a no-op.
+    #
+    # Partition-count sizing (r06, guide §2): the kernel task count is
+    # byte-derived — clamp(input_bytes / 4 MB, session cores,
+    # shuffle.partitions) — instead of a flat shuffle.partitions.  Per-task
+    # overhead is ~10 ms (Arrow stream + scheduling); on the sandbox's 6 MB
+    # documents table 64 tasks spent 0.9 s where 32 spend 0.5 s (measured,
+    # 3-trial medians), while the cores floor keeps the CPU-bound kernel
+    # fully parallel and real inputs grow the count back via bytes.
     target = int(
         inp.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    try:
+        import os as _os
+
+        nbytes = sum(
+            _os.path.getsize(f[7:] if f.startswith("file://") else f)
+            for f in docs.inputFiles()
+        )
+    except Exception:
+        nbytes = 0
+    if nbytes:
+        from qs_spark.session import DEFAULT_CPUS
+
+        target = min(target, max(DEFAULT_CPUS, int(nbytes // (4 << 20))))
     if inp.rdd.getNumPartitions() < max(2, target // 2):
         inp = inp.repartition(target, "doc_id")
     return inp.mapInPandas(kernel, schema)
@@ -290,6 +311,7 @@ def lsh_candidate_pairs(
     max_bucket_size: int = LSH_MAX_BUCKET,
     fps: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    rep_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates: pairs of exact-dup-cluster REPRESENTATIVES
     sharing any band bucket.
@@ -334,10 +356,15 @@ def lsh_candidate_pairs(
         sk = scoped_cache(doc_sketches(docs))
         fps = sk.select("fp", "doc_id")
         sigs = sk.filter(F.col("mh0").isNotNull()).drop("fp")
+    if rep_ids is None:
+        # callers that already derived the representative set from their own
+        # fp pass (near_dup_clusters' exact-edge window) hand it in via
+        # rep_ids, so the fp exchange is built once and reused (r06)
+        rep_ids = exact_dedup_rep_ids(docs, fps=fps)
     w = Window.partitionBy("band", "bucket")
     b2 = scoped_cache(
         lsh_buckets(sigs if sigs is not None else minhash_signatures(docs))
-        .join(exact_dedup_rep_ids(docs, fps=fps), "doc_id", "left_semi")
+        .join(rep_ids, "doc_id", "left_semi")
         .withColumn("_m", F.count("*").over(w))
         .withColumn("_rep", F.min("doc_id").over(w))
     )
@@ -473,6 +500,7 @@ def ngram_jaccard_pairs(
     fps: DataFrame | None = None,
     strategy: str = "pair_kernel",
     sigs: DataFrame | None = None,
+    rep_ids: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity over LSH candidate pairs — the scale path.
 
@@ -498,11 +526,14 @@ def ngram_jaccard_pairs(
     and count intersections via two shuffle joins — no text duplication, the
     better shape if pair multiplicity per doc is ever unbounded (e.g. an
     uncapped custom banding).  cand/sh are scoped-cached (multi-consumer)."""
-    cand = scoped_cache(lsh_candidate_pairs(docs, max_bucket_size, fps=fps, sigs=sigs))
-    cdocs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    cand = scoped_cache(
+        lsh_candidate_pairs(docs, max_bucket_size, fps=fps, sigs=sigs, rep_ids=rep_ids)
+    )
+    # no .distinct() here (r06): the only consumer is a left-semi join, which
+    # dedups by construction — the distinct was one full shuffle + aggregate
+    # of pure plan depth on the dedup_cluster path
+    cdocs = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
     )
     if strategy == "pair_kernel":
         t = scoped_cache(
@@ -720,13 +751,18 @@ def near_dup_clusters(
     sk = scoped_cache(doc_sketches(docs))
     fps = sk.select("fp", "doc_id")
     sigs = sk.filter(F.col("mh0").isNotNull()).drop("fp")
-    exact_edges = (
-        fps.withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
-        .filter(F.col("doc_id") != F.col("rep"))
-        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    # ONE fp window feeds BOTH the exact-dup edges and the representative
+    # filter (r06): the two branches share a canonically-equal
+    # Exchange(hashpartitioning(fp)) that ReuseExchange materializes once —
+    # previously the rep set was a separate groupBy(fp) aggregate, a second
+    # full fp shuffle of pure plan depth.
+    fp_ann = fps.withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
+    exact_edges = fp_ann.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
+    rep_ids = fp_ann.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
     near_edges = ngram_jaccard_pairs(
-        docs, n, max_bucket_size, fps=fps, sigs=sigs
+        docs, n, max_bucket_size, fps=fps, sigs=sigs, rep_ids=rep_ids
     ).filter(
         F.col("jaccard") >= jaccard_threshold
     ).select("doc_a", "doc_b")
