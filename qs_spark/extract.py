@@ -580,12 +580,16 @@ def extract_spans_native(
     # branch into hundreds of near-empty Python tasks whose ~0.3 s each
     # overhead GREW with cores (measured: 5 s at 8 cores -> 10 s at 32 on
     # ~5 MB of megas, inverting the scaling curve).  Slices carry payload
-    # text, so bytes track kernel work here — 4 MB per task, floored at 1.
+    # text, so bytes track kernel work here — 1 MB per task, floored at 1
+    # (r06: 4 MB/task put the sandbox's 5.4 MB mega dir on 2 kernel tasks of
+    # ~0.5 s each, ~1 s of critical path the union stage waits on; 1 MB/task
+    # measured 0.72 s vs 1.0-2.2 s across 3-trial A/B, still bytes-derived
+    # so the count cannot balloon with cores).
     mega_dir = os.path.join(table_path, f"{SIZE_CLASS_COL}=mega")
     mega_bytes = sum(
         os.path.getsize(f) for f in glob.glob(os.path.join(mega_dir, "*.parquet"))
     )
-    mega_nparts = int(max(1, min(num_partitions, mega_bytes // (4 * 1024 * 1024) + 1)))
+    mega_nparts = int(max(1, min(num_partitions, mega_bytes // (1024 * 1024) + 1)))
     mega = with_fmt(df.filter(F.col(SIZE_CLASS_COL) == "mega"))
     mega_out = _extract_mega(mega, chunk_size, split_threshold, mega_nparts)
     return small_out.unionByName(mega_out)

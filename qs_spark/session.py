@@ -78,6 +78,12 @@ def get_spark(
         # 4.3 s steady (sf0.1, local[32]).  lower() rides every hot path
         # here: store F2, norm_text (all dedup sketches), token explodes.
         .config("spark.sql.icu.caseMappings.enabled", "false")
+        # guide §6: zstd parquet beats snappy at similar write speed.  A/B on
+        # the bench store (3 trials each, same session): snappy 97 MB /
+        # 3.4-6.5 s vs zstd 63 MB / 3.6-4.4 s — write time equal within
+        # noise, and every downstream scan (search reads the store, postings
+        # lookups read the index) moves ~35% fewer bytes.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # extraction rows are fat and the kernel is CPU-heavy: a 128 MB scan
         # split is far too coarse (a bucketed input collapses to a handful of
         # tasks and the job runs in 1.x waves).  4 MB max + 4 MB open cost =

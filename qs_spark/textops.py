@@ -664,8 +664,16 @@ def connected_components(
                     rs, rd = rd, rs
                 parent[rd] = rs  # union by MIN: every root is its comp min
         nodes = set(pdf["src"].tolist()) | set(pdf["dst"].tolist())
-        return spark.createDataFrame(
-            [(x, find(x)) for x in sorted(nodes)], f"node {ntype}, cluster {ntype}"
+        # broadcast hint (r06): this tier's result is bounded (<= 2 *
+        # local_below driver-local rows), and its consumers join it against
+        # the full doc table — without the hint Spark picked a SortMergeJoin
+        # whose two exchanges + sorts cost ~0.9 s of the dedup_cluster bench
+        # on a 500-row build side.  The distributed tiers below return
+        # unhinted (their label table scales with the graph).
+        return F.broadcast(
+            spark.createDataFrame(
+                [(x, find(x)) for x in sorted(nodes)], f"node {ntype}, cluster {ntype}"
+            )
         )
     # overflow: build the symmetric distinct edge table the distributed
     # min-propagate loop requires, and size the loop from its real count
