@@ -234,9 +234,11 @@ def _sketches_impl(docs: DataFrame, k: int, n: int, with_fp: bool) -> DataFrame:
     except Exception:
         nbytes = 0
     if nbytes:
-        from qs_spark.session import DEFAULT_CPUS
-
-        target = min(target, max(DEFAULT_CPUS, int(nbytes // (4 << 20))))
+        # cores floor from the SESSION (get_spark pins default.parallelism =
+        # 2x cores), not from the env — a local[2] scaling run must not
+        # inherit the 32-core floor
+        cores = max(1, inp.sparkSession.sparkContext.defaultParallelism // 2)
+        target = min(target, max(cores, int(nbytes // (4 << 20))))
     if inp.rdd.getNumPartitions() < max(2, target // 2):
         inp = inp.repartition(target, "doc_id")
     return inp.mapInPandas(kernel, schema)
