@@ -1324,6 +1324,12 @@ def pack_sequences(
     drop).  Deterministic across partitionings (hash sharding + in-shard
     ordering are both content-derived).
 
+    Ordering contract: the in-shard fill order is pandas sort_values on
+    doc_id — numeric order for numeric ids, CODEPOINT order for strings
+    (same as Python sorted() and DuckDB's default binary collation; pinned
+    by test_pack_sequences_string_id_collation).  A locale-collated order
+    would require an explicit key and is deliberately out of contract.
+
     shard_col overrides the default xxhash64 sharding with a caller-provided
     shard column — the SQL-oracle hook (DuckDB has no xxhash64; the q66
     driver oracle re-derives the same packing from a doc_id-mod shard with a

@@ -574,6 +574,44 @@ def test_pack_sequences_oversize_and_edge(spark):
         assert s <= 10 or pid == p2
 
 
+def test_pack_sequences_string_id_collation(spark):
+    """r05 VERDICT #6: the in-shard fill order is pandas sort_values —
+    CODEPOINT order for string doc_ids.  Python's sorted() is the same
+    order, and DuckDB's default collation for the oracle's ORDER BY is
+    binary (also codepoint for UTF-8), so all three agree; this pins the
+    contract with mixed-case + non-ASCII ids (where codepoint order differs
+    visibly from any locale collation: 'Zebra' < 'apple' < 'Ärmel')."""
+    ids = ["apple", "Apple", "Zebra", "zebra", "Ärmel", "éclair", "ABC1", "_x"]
+    toks = [4, 7, 3, 9, 2, 6, 5, 8]
+    docs = spark.createDataFrame(
+        [(i, t, 0) for i, t in zip(ids, toks)],
+        "doc_id string, n_tokens long, shard int",
+    ).repartition(5)
+    budget = 10
+    out = (
+        X.pack_sequences(docs, budget, shard_col="shard")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # reference greedy fill over Python sorted() (codepoint) order
+    tok_of = dict(zip(ids, toks))
+    expect, cur, pack = {}, 0, 0
+    first = True
+    for i in sorted(ids):
+        t = tok_of[i]
+        if not first and cur + t > budget:
+            pack, cur = pack + 1, 0
+        expect[i] = pack
+        cur += t
+        first = False
+        if t > budget:
+            pack, cur, first = pack + 1, 0, True
+    got = {i: int(out.loc[i, "pack_id"]) for i in ids}
+    assert got == expect, (got, expect)
+    # codepoint order is visibly non-locale here: uppercase before lowercase
+    assert sorted(ids)[:3] == ["ABC1", "Apple", "Zebra"]
+
+
 def test_ivf_sampled_training_keeps_recall(spark):
     """r03 VERDICT #5: train_fraction fits KMeans on a SAMPLE (the 100 TB
     shape — k-means is multi-pass, assignment is one pass) and must keep the
