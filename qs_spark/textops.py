@@ -314,6 +314,7 @@ def lsh_candidate_pairs(
     fps: DataFrame | None = None,
     sigs: DataFrame | None = None,
     rep_ids: DataFrame | None = None,
+    sigs_are_reps: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: pairs of exact-dup-cluster REPRESENTATIVES
     sharing any band bucket.
@@ -353,20 +354,36 @@ def lsh_candidate_pairs(
     share scans across pipeline stages; when BOTH are absent they are fused
     into one doc_sketches text scan here (r05: the standalone call previously
     paid two full-text evaluations — fingerprints for the rep filter plus
-    the signature kernel)."""
+    the signature kernel).  `sigs_are_reps=True` declares the passed `sigs`
+    already filtered to exact-dup representatives, skipping the rep
+    semi-join entirely (r06, see below).
+
+    Representative filter shape (r06): the rep set used to be a groupBy(fp)
+    aggregate semi-joined against the BUCKET table on doc_id.  At scale that
+    semi-join is a second shuffle of the 4-rows-per-doc bucket table (or a
+    broadcast of every representative id); now a single window over the
+    cached sketch rows (min doc_id per fp, carried on the full row) filters
+    the SIGNATURES before banding, so the bucket table is built from
+    representatives only and is never re-shuffled by doc_id.  Same rep set
+    (min doc_id per fp, SQL null-grouping semantics unchanged), fewer
+    exchanges at every scale; q21/q23/q62 oracles pin the outputs."""
     if fps is None and sigs is None:
         sk = scoped_cache(doc_sketches(docs))
-        fps = sk.select("fp", "doc_id")
-        sigs = sk.filter(F.col("mh0").isNotNull()).drop("fp")
-    if rep_ids is None:
-        # callers that already derived the representative set from their own
-        # fp pass (near_dup_clusters' exact-edge window) hand it in via
-        # rep_ids, so the fp exchange is built once and reused (r06)
-        rep_ids = exact_dedup_rep_ids(docs, fps=fps)
+        sk_ann = sk.withColumn(
+            "_krep", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        sigs = sk_ann.filter(
+            (F.col("doc_id") == F.col("_krep")) & F.col("mh0").isNotNull()
+        ).drop("fp", "_krep")
+        sigs_are_reps = True
+    bsrc = lsh_buckets(sigs if sigs is not None else minhash_signatures(docs))
+    if not sigs_are_reps:
+        if rep_ids is None:
+            rep_ids = exact_dedup_rep_ids(docs, fps=fps)
+        bsrc = bsrc.join(rep_ids, "doc_id", "left_semi")
     w = Window.partitionBy("band", "bucket")
     b2 = scoped_cache(
-        lsh_buckets(sigs if sigs is not None else minhash_signatures(docs))
-        .join(rep_ids, "doc_id", "left_semi")
+        bsrc
         .withColumn("_m", F.count("*").over(w))
         .withColumn("_rep", F.min("doc_id").over(w))
     )
@@ -503,6 +520,7 @@ def ngram_jaccard_pairs(
     strategy: str = "pair_kernel",
     sigs: DataFrame | None = None,
     rep_ids: DataFrame | None = None,
+    sigs_are_reps: bool = False,
 ) -> DataFrame:
     """n-gram Jaccard similarity over LSH candidate pairs — the scale path.
 
@@ -529,7 +547,14 @@ def ngram_jaccard_pairs(
     better shape if pair multiplicity per doc is ever unbounded (e.g. an
     uncapped custom banding).  cand/sh are scoped-cached (multi-consumer)."""
     cand = scoped_cache(
-        lsh_candidate_pairs(docs, max_bucket_size, fps=fps, sigs=sigs, rep_ids=rep_ids)
+        lsh_candidate_pairs(
+            docs,
+            max_bucket_size,
+            fps=fps,
+            sigs=sigs,
+            rep_ids=rep_ids,
+            sigs_are_reps=sigs_are_reps,
+        )
     )
     # no .distinct() here (r06): the only consumer is a left-semi join, which
     # dedups by construction — the distinct was one full shuffle + aggregate
@@ -759,20 +784,23 @@ def near_dup_clusters(
     # contract) — `n` parameterizes only the exact-Jaccard verify, exactly as
     # before the fuse (lsh_candidate_pairs always banded 3-gram signatures).
     sk = scoped_cache(doc_sketches(docs))
-    fps = sk.select("fp", "doc_id")
-    sigs = sk.filter(F.col("mh0").isNotNull()).drop("fp")
-    # ONE fp window feeds BOTH the exact-dup edges and the representative
-    # filter (r06): the two branches share a canonically-equal
-    # Exchange(hashpartitioning(fp)) that ReuseExchange materializes once —
-    # previously the rep set was a separate groupBy(fp) aggregate, a second
-    # full fp shuffle of pure plan depth.
-    fp_ann = fps.withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
+    # ONE full-row fp window feeds the exact-dup edges AND the
+    # representative-filtered signatures (r06): min doc_id per fingerprint,
+    # carried on the whole sketch row, so (a) the two branches share a
+    # canonically-equal Exchange(hashpartitioning(fp)) that ReuseExchange
+    # materializes once, and (b) lsh_candidate_pairs skips its rep
+    # semi-join entirely — the bucket table is banded from representatives
+    # only and never re-shuffled by doc_id (sigs_are_reps).  Same rep set
+    # as the former groupBy(fp) aggregate (SQL null-group semantics incl.).
+    fp_ann = sk.withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
     exact_edges = fp_ann.filter(F.col("doc_id") != F.col("rep")).select(
         F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
-    rep_ids = fp_ann.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    sigs_rep = fp_ann.filter(
+        (F.col("doc_id") == F.col("rep")) & F.col("mh0").isNotNull()
+    ).drop("fp", "rep")
     near_edges = ngram_jaccard_pairs(
-        docs, n, max_bucket_size, fps=fps, sigs=sigs, rep_ids=rep_ids
+        docs, n, max_bucket_size, sigs=sigs_rep, sigs_are_reps=True
     ).filter(
         F.col("jaccard") >= jaccard_threshold
     ).select("doc_a", "doc_b")
