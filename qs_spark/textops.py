@@ -496,10 +496,25 @@ def _pair_shingle_stats(n: int):
 
         for pdf in batches:
             rows = []
+            # batch-local shingle memo (r06): a doc in k candidate pairs
+            # used to be re-shingled k times; pair multiplicity per doc is
+            # bounded by bands x bucket cap, and near-dup texts recur by
+            # construction, so the memo (keyed on the text object) turns
+            # repeats into dict hits.  Bounded by the batch's distinct
+            # texts; output unchanged.
+            memo: dict = {}
+
+            def cached(text):
+                s = memo.get(text)
+                if s is None and text not in memo:
+                    s = shingle_set(text)
+                    memo[text] = s
+                return s
+
             for da, db, ta, tb in zip(
                 pdf["doc_a"], pdf["doc_b"], pdf["_ta"], pdf["_tb"]
             ):
-                sa, sb = shingle_set(ta), shingle_set(tb)
+                sa, sb = cached(ta), cached(tb)
                 if not sa or not sb:
                     continue
                 inter = len(sa & sb)
