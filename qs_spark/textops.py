@@ -536,6 +536,7 @@ def ngram_jaccard_pairs(
     sigs: DataFrame | None = None,
     rep_ids: DataFrame | None = None,
     sigs_are_reps: bool = False,
+    broadcast_cands_below: int = 2_000_000,
 ) -> DataFrame:
     """n-gram Jaccard similarity over LSH candidate pairs — the scale path.
 
@@ -560,7 +561,21 @@ def ngram_jaccard_pairs(
     'shingle_join' (r04 shape): explode candidate docs to distinct shingles
     and count intersections via two shuffle joins — no text duplication, the
     better shape if pair multiplicity per doc is ever unbounded (e.g. an
-    uncapped custom banding).  cand/sh are scoped-cached (multi-consumer)."""
+    uncapped custom banding).  cand/sh are scoped-cached (multi-consumer).
+
+    Candidate-text semi-join shape (r06, guide §3.2): unhinted, the planner
+    sort-merge-joins docs against the candidate ids — which shuffles the
+    FULL corpus text by doc_id before the semi filter drops non-candidates
+    (event-log audit: the docs scan + full-text shuffle write ran as one
+    serial task costing ~0.7 s of the sandbox dedup_cluster wall, and at
+    100 TB it is a corpus-wide text shuffle to fetch a ~1% candidate set —
+    the §8 anti-pattern).  The candidate-id table is slim and its size is
+    known after one count on the already-cached pair table, so when the
+    pair count is under `broadcast_cands_below` the ids are BROADCAST and
+    the semi filter runs inside the scan stage: zero text ever leaves its
+    scan task.  Above the gate (web-scale candidate sets) the unhinted
+    sort-merge path stands unchanged.  The count is a size probe on the
+    cached slim pair table, not a result cache — every run computes it."""
     cand = scoped_cache(
         lsh_candidate_pairs(
             docs,
@@ -577,6 +592,8 @@ def ngram_jaccard_pairs(
     cdocs = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
         cand.select(F.col("doc_b").alias("doc_id"))
     )
+    if cand.count() <= broadcast_cands_below:
+        cdocs = F.broadcast(cdocs)
     if strategy == "pair_kernel":
         t = scoped_cache(
             docs.join(cdocs, "doc_id", "left_semi")
