@@ -729,9 +729,20 @@ def connected_components(
         # whose two exchanges + sorts cost ~0.9 s of the dedup_cluster bench
         # on a 500-row build side.  The distributed tiers below return
         # unhinted (their label table scales with the graph).
+        #
+        # Slice count pinned to the data (r06): a bare createDataFrame
+        # parallelizes over default.parallelism — 64 Python-RDD tasks of a
+        # few hundred rows each whose per-task overhead cost ~0.6 s of the
+        # broadcast build (event-log stage s100).  The tier is bounded at
+        # 2 * local_below rows, so 50k-row slices cap it at 9 tasks.
+        rows = [(x, find(x)) for x in sorted(nodes)]
+        schema = f"node {ntype}, cluster {ntype}"
         return F.broadcast(
             spark.createDataFrame(
-                [(x, find(x)) for x in sorted(nodes)], f"node {ntype}, cluster {ntype}"
+                spark.sparkContext.parallelize(
+                    rows, max(1, min(8, len(rows) // 50_000 + 1))
+                ),
+                schema,
             )
         )
     # overflow: build the symmetric distinct edge table the distributed
