@@ -266,18 +266,24 @@ def lsh_buckets(sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> 
     Bands unfold via ONE explode — a union of per-band selects would
     re-execute the whole signature pipeline once per band."""
     rows_per_band = k // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"),
-            )
+    # ONE select via inline() (r06): the explode-struct-then-unpack form was
+    # two selects — two full analyzer passes over the (deep) signature tree
+    # per construction, ~0.1-0.2 s of driver wall on the sandbox dedup
+    # queries.  inline() generates the struct fields as top-level columns
+    # directly; rows and values are identical.  The expression is built as
+    # ONE sql string: each fine-grained Column op is a py4j round-trip, and
+    # this constructor sat on the dedup queries' critical path.
+    bands_sql = ", ".join(
+        "struct({b} as band, md5(concat_ws('_', {cols})) as bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"cast(mh{b * rows_per_band + r} as string)"
+                for r in range(rows_per_band)
+            ),
         )
-    return sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        for b in range(bands)
+    )
+    return sigs.selectExpr("doc_id", f"inline(array({bands_sql}))")
 
 
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
@@ -382,10 +388,15 @@ def lsh_candidate_pairs(
             rep_ids = exact_dedup_rep_ids(docs, fps=fps)
         bsrc = bsrc.join(rep_ids, "doc_id", "left_semi")
     w = Window.partitionBy("band", "bucket")
+    # one select, not two withColumns: both window columns share the spec
+    # (one Window node either way) and each chained op is a full analyzer
+    # pass over the signature tree on the driver
     b2 = scoped_cache(
-        bsrc
-        .withColumn("_m", F.count("*").over(w))
-        .withColumn("_rep", F.min("doc_id").over(w))
+        bsrc.select(
+            "*",
+            F.count("*").over(w).alias("_m"),
+            F.min("doc_id").over(w).alias("_rep"),
+        )
     )
     small = b2.filter(F.col("_m") <= max_bucket_size).select("band", "bucket", "doc_id")
     all_pairs = (
@@ -588,10 +599,11 @@ def ngram_jaccard_pairs(
     )
     # no .distinct() here (r06): the only consumer is a left-semi join, which
     # dedups by construction — the distinct was one full shuffle + aggregate
-    # of pure plan depth on the dedup_cluster path
-    cdocs = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
-        cand.select(F.col("doc_b").alias("doc_id"))
-    )
+    # of pure plan depth on the dedup_cluster path.  explode(array(a, b))
+    # yields the same id multiset as the former two-select union in ONE
+    # operator — one analyzer pass and one scan of the cached pair table
+    # instead of two union branches.
+    cdocs = cand.selectExpr("explode(array(doc_a, doc_b)) as doc_id")
     if cand.count() <= broadcast_cands_below:
         cdocs = F.broadcast(cdocs)
     if strategy == "pair_kernel":
