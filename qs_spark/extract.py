@@ -592,7 +592,21 @@ def extract_spans_native(
     mega_nparts = int(max(1, min(num_partitions, mega_bytes // (1024 * 1024) + 1)))
     mega = with_fmt(df.filter(F.col(SIZE_CLASS_COL) == "mega"))
     mega_out = _extract_mega(mega, chunk_size, split_threshold, mega_nparts)
-    return small_out.unionByName(mega_out)
+    out = small_out.unionByName(mega_out)
+    # Branch annotation for write_store (r06, guide §2.6): a store write
+    # rebalances ABOVE this union, which fuses both branches into one map
+    # stage — and that stage cannot start until the mega chain's stitch
+    # shuffle is materialized, so the 100+-task native-kernel wave idles
+    # ~1.3 s behind a 10-task mega pipeline (event-log audit, sf0.1).
+    # Exposing the branches (with their byte weights) lets write_store
+    # rebalance each branch separately: the kernel's exchange then has no
+    # shuffle dependency and runs concurrently with the mega chain.
+    small_bytes = sum(os.path.getsize(p) for p, _, _ in splits)
+    out._qs_store_branches = [
+        (small_out, max(small_bytes, 1)),
+        (mega_out, max(mega_bytes, 1)),
+    ]
+    return out
 
 
 def oracle_extract(docs: list[tuple[str, list[dict]]], chunk_size: int = CHUNK_SIZE) -> pd.DataFrame:

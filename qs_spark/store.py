@@ -51,7 +51,6 @@ def build_store(
     key->value tag map, mirroring the reference's per-document metadata
     (quanta-search-api/schemas/schema.py:33-41,137-147); retrieval filters on
     them via search.filter_tenant (file_searcher.py:236,258,265)."""
-    spans = spans.filter(F.col("kind") != "error")
     fn = file_name_col()
     f1 = F.concat(
         F.lit("File Name : "), fn, F.lit("\n\n\n"), F.coalesce(F.col("text"), F.lit(""))
@@ -63,20 +62,30 @@ def build_store(
         if realm
         else F.create_map().cast("map<string,string>")
     )
-    return spans.select(
-        F.concat_ws("#", "doc_id", "order").alias("row_id"),
-        F.col("doc_id").alias("document_id"),
-        fn.alias("document_name"),
-        (F.col("order") + 1).alias("page_no"),
-        f2.alias("text"),
-        "kind",
-        "media_ref",
-        "fmt",
-        F.lit(state).alias("state"),
-        F.lit(version_id).alias("version_id"),
-        F.lit(uid).alias("uid"),
-        realm_col.alias("realm"),
-    )
+
+    def project(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("kind") != "error").select(
+            F.concat_ws("#", "doc_id", "order").alias("row_id"),
+            F.col("doc_id").alias("document_id"),
+            fn.alias("document_name"),
+            (F.col("order") + 1).alias("page_no"),
+            f2.alias("text"),
+            "kind",
+            "media_ref",
+            "fmt",
+            F.lit(state).alias("state"),
+            F.lit(version_id).alias("version_id"),
+            F.lit(uid).alias("uid"),
+            realm_col.alias("realm"),
+        )
+
+    out = project(spans)
+    # propagate extraction-branch annotation (see write_store): the same
+    # projection applied per branch is row-identical to projecting the union
+    branches = getattr(spans, "_qs_store_branches", None)
+    if branches:
+        out._qs_store_branches = [(project(b), w) for b, w in branches]
+    return out
 
 
 def write_store(
@@ -107,5 +116,28 @@ def write_store(
         min_files = max(
             1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
         )
-    n = max(min_files, (est_bytes or 0) // target_file_bytes)
-    store.repartition(int(n)).write.mode("overwrite").parquet(path)
+    n = int(max(min_files, (est_bytes or 0) // target_file_bytes))
+    branches = getattr(store, "_qs_store_branches", None)
+    if branches:
+        # Per-branch rebalance (r06, guide §2.6): a single repartition above
+        # the extraction union fuses both branches into one map stage, which
+        # cannot start until the mega branch's stitch shuffle lands — the
+        # wide native-kernel wave idles behind a 10-task pipeline (~1.3 s at
+        # sf0.1, event-log audit).  Rebalancing each branch separately keeps
+        # the total file count at n (byte-weighted split, every branch >= 1
+        # file) while the branches' exchanges materialize CONCURRENTLY.
+        # Row content is identical: union-then-repartition and
+        # repartition-then-union write the same rows.
+        total_w = sum(w for _, w in branches)
+        parts = [max(1, round(n * w / total_w)) for _, w in branches]
+        # trim overshoot from the largest branch so sum(parts) stays ~n
+        while sum(parts) > max(n, len(parts)):
+            i = parts.index(max(parts))
+            parts[i] -= 1
+        df = None
+        for (b, _), p in zip(branches, parts):
+            rb = b.repartition(p)
+            df = rb if df is None else df.unionByName(rb)
+        df.write.mode("overwrite").parquet(path)
+        return
+    store.repartition(n).write.mode("overwrite").parquet(path)
