@@ -79,13 +79,19 @@ def build_store(
             realm_col.alias("realm"),
         )
 
-    out = project(spans)
     # propagate extraction-branch annotation (see write_store): the same
-    # projection applied per branch is row-identical to projecting the union
+    # projection applied per branch is row-identical to projecting the
+    # union, so the union output is REBUILT from the projected branches —
+    # one analyzer pass per branch instead of branches + union
     branches = getattr(spans, "_qs_store_branches", None)
     if branches:
-        out._qs_store_branches = [(project(b), w) for b, w in branches]
-    return out
+        projected = [(project(b), w) for b, w in branches]
+        out = projected[0][0]
+        for b, _ in projected[1:]:
+            out = out.unionByName(b)
+        out._qs_store_branches = projected
+        return out
+    return project(spans)
 
 
 def write_store(
@@ -117,6 +123,13 @@ def write_store(
             1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
         )
     n = int(max(min_files, (est_bytes or 0) // target_file_bytes))
+    # Row-group sizing was A/B'd and rejected (r06): shrinking
+    # parquet.block.size so each ~4 MB store file splits into several row
+    # groups raised the scan's task count (16 -> 60+ splits) but search read
+    # medians were FLAT-to-worse (2.22 base vs 2.27 s, 3 interleaved
+    # extract+search pairs) — the scan is decode-bound, not
+    # parallelism-bound, and small row groups add per-group overhead.  The
+    # default (one ~row-group per small file) stands.
     branches = getattr(store, "_qs_store_branches", None)
     if branches:
         # Per-branch rebalance (r06, guide §2.6): a single repartition above
