@@ -261,10 +261,15 @@ def _stitch(parts: DataFrame) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("part_k", "local_order")
     wdoc = Window.partitionBy("doc_id")
     is_err = F.when(F.col("kind") == "error", 1).otherwise(0)
+    # one select, not three withColumns: each chained op is a full analyzer
+    # pass over the tree on the driver; the window columns are unchanged
     return (
-        parts.withColumn("n_err", F.sum(is_err).over(wdoc))
-        .withColumn("err_seen", F.sum(is_err).over(w))  # running, incl. self
-        .withColumn("rn", F.row_number().over(w))
+        parts.select(
+            "*",
+            F.sum(is_err).over(wdoc).alias("n_err"),
+            F.sum(is_err).over(w).alias("err_seen"),  # running, incl. self
+            F.row_number().over(w).alias("rn"),
+        )
         .filter(
             (F.col("n_err") == 0)
             | ((F.col("kind") == "error") & (F.col("err_seen") == 1))
@@ -376,7 +381,8 @@ def _extract_mega(
                 )
             ).alias("part_k", "spans"),
         )
-        .select("doc_id", "part_k", "spans", "fmt")
+        # no reorder select: the part kernel reads Arrow columns by NAME
+        # (_docs_from_arrow builds a name index), so column order is free
         .repartition(num_partitions, F.xxhash64("doc_id", "part_k"))
         .mapInArrow(_make_part_fn(chunk_size), schema=_PART_SCHEMA)
     )
@@ -489,24 +495,58 @@ def _make_native_reader_fn(
 
 
 def native_scan_table(spark, path: str, split_threshold: int) -> DataFrame | None:
-    """Open `path` as a size_class-partitioned span table and validate that
-    its stored routing layout matches split_threshold; None when the table
-    can't be trusted for metadata-only mega/small routing (caller falls back
-    to the generic scan)."""
+    """Validate `path` as a size_class-partitioned span table trusted for
+    metadata-only mega/small routing and return its MEGA partition as a
+    DataFrame (empty when there are no megas); None when the table can't be
+    trusted (caller falls back to the generic scan).
+
+    Cost discipline (r06, guide §5 "the driver should do almost no data
+    work"): the old form opened the whole table with spark.read.parquet —
+    a full file listing + schema inference over every data file (~0.25 s
+    per query on the sandbox's 390-file corpus) only to filter out the
+    ~0.2% mega partition.  Validation now reads ONE data-file footer
+    driver-side (pyarrow, ~ms) and only the mega directory is handed to
+    Spark, with an explicit schema so no inference pass runs.  The
+    trusted-threshold rule is unchanged in effect: parquet's partitionBy
+    drops column metadata (a stored with_size_class threshold never
+    round-trips — verified), so a bare-path table is only ever trusted at
+    the default derivation threshold; a table format with real column
+    metadata (Iceberg) would consult it here."""
+    import glob
     import os
 
-    if not os.path.isdir(os.path.join(path, f"{SIZE_CLASS_COL}=small")):
+    import pyarrow.parquet as pq
+
+    small_dir = os.path.join(path, f"{SIZE_CLASS_COL}=small")
+    if not os.path.isdir(small_dir):
         return None
-    df = spark.read.parquet(path)
-    if SIZE_CLASS_COL not in df.columns or "spans" not in df.columns:
+    if split_threshold != DEFAULT_SPLIT_THRESHOLD:
         return None
-    stored_t = df.schema[SIZE_CLASS_COL].metadata.get("split_threshold")
-    trusted = (
-        stored_t == split_threshold
-        if stored_t is not None
-        else split_threshold == DEFAULT_SPLIT_THRESHOLD
+    mega_dir = os.path.join(path, f"{SIZE_CLASS_COL}=mega")
+    sample = next(
+        (
+            f
+            for d in (small_dir, mega_dir)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if os.path.getsize(f) > 0
+        ),
+        None,
     )
-    return df if trusted else None
+    if sample is None:
+        return None
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    arrow_schema = pq.read_schema(sample)
+    if "spans" not in arrow_schema.names or "doc_id" not in arrow_schema.names:
+        return None
+    schema = from_arrow_schema(arrow_schema)
+    has_megas = any(
+        os.path.getsize(f) > 0
+        for f in glob.glob(os.path.join(mega_dir, "*.parquet"))
+    )
+    if not has_megas:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(mega_dir)
 
 
 def extract_spans_native(
@@ -589,9 +629,16 @@ def extract_spans_native(
     mega_bytes = sum(
         os.path.getsize(f) for f in glob.glob(os.path.join(mega_dir, "*.parquet"))
     )
-    mega_nparts = int(max(1, min(num_partitions, mega_bytes // (1024 * 1024) + 1)))
-    mega = with_fmt(df.filter(F.col(SIZE_CLASS_COL) == "mega"))
-    mega_out = _extract_mega(mega, chunk_size, split_threshold, mega_nparts)
+    if mega_bytes:
+        mega_nparts = int(max(1, min(num_partitions, mega_bytes // (1024 * 1024) + 1)))
+        # `df` is the mega partition itself (native_scan_table reads only
+        # that directory with an explicit schema — no full-table listing)
+        mega_out = _extract_mega(
+            with_fmt(df), chunk_size, split_threshold, mega_nparts
+        )
+    else:
+        # no megas: skip the whole split/stitch plan construction
+        mega_out = spark.createDataFrame([], SPAN_SCHEMA)
     out = small_out.unionByName(mega_out)
     # Branch annotation for write_store (r06, guide §2.6): a store write
     # rebalances ABOVE this union, which fuses both branches into one map
