@@ -861,13 +861,14 @@ def near_dup_clusters(
     ).select("doc_a", "doc_b")
     comp = connected_components(exact_edges.unionByName(near_edges))
     ids = sk.select("doc_id")  # from the cached sketches — no second scan
-    return (
-        ids.join(comp, ids.doc_id == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
-        )
-        .withColumn("is_representative", F.col("doc_id") == F.col("cluster"))
+    cluster = F.coalesce("cluster", F.col("doc_id"))
+    # one select, not select+withColumn: is_representative restates the
+    # coalesce (identical value; codegen dedups the common subexpression)
+    # and each chained op is a full analyzer pass on the driver
+    return ids.join(comp, ids.doc_id == comp.node, "left").select(
+        "doc_id",
+        cluster.alias("cluster"),
+        (F.col("doc_id") == cluster).alias("is_representative"),
     )
 
 
